@@ -1,0 +1,70 @@
+"""Config/CLI parity tests against reference option.py derivations."""
+
+import pytest
+
+from frequency_wised_all_in_one_image_restoration_model_tpu import config
+
+
+def test_defaults_match_reference():
+    cfg = config.parse_args([])
+    assert cfg.encoder_type == "Uformer"
+    assert cfg.decoder_type == "Uformer"
+    assert cfg.encoder_dim == 256           # option.py:95-98
+    assert cfg.lr == 2e-4                   # option.py:100-101
+    assert cfg.batch_size == 4              # option.py:76 (len(de_type))
+    assert cfg.ckpt_path == "output/tmp/ckpt/"
+    assert cfg.L == 3
+    assert cfg.contrast_loss_weight == 0.6  # fixed dead assignment, option.py:59-64
+
+
+def test_task_shorthand_expansion():
+    cfg = config.parse_args(["--de_type", "2tasks"])
+    assert cfg.de_type == ("denoising_0", "deraining")
+    assert cfg.batch_size == 2
+    assert "denoising_bsd68_50" in cfg.test_de_type
+
+
+def test_encoder_defaults():
+    cfg = config.parse_args(["--encoder_type", "ResNet"])
+    assert cfg.encoder_dim == 256 and cfg.lr == 1e-3
+    cfg = config.parse_args(["--encoder_type", "ViT"])
+    assert cfg.encoder_dim == 3 and cfg.lr == 3e-4
+
+
+def test_explicit_flags_win():
+    cfg = config.parse_args(["--lr", "0.5", "--contrast_loss_weight", "0.9", "--L", "2"])
+    assert cfg.lr == 0.5
+    assert cfg.contrast_loss_weight == 0.9
+
+
+def test_l2_contrast_weight():
+    cfg = config.parse_args(["--L", "2"])
+    assert cfg.contrast_loss_weight == 0.2
+
+
+def test_invalid_encoder_rejected():
+    with pytest.raises(ValueError):
+        config.parse_args(["--encoder_type", "Nope"])
+
+
+def test_invalid_decompose_type_rejected():
+    with pytest.raises(ValueError):
+        config.parse_args(["--frequency_decompose_type", "banana"])
+    config.parse_args(["--frequency_decompose_type", "5_bands"])  # ok
+    config.parse_args(["--frequency_decompose_type", "DC"])       # ok
+
+
+def test_all_bands_method_parsing():
+    cfg = config.make_config(degradation_embedding_method=["all_3_bands"])
+    assert cfg.num_bands_all_methods == 3
+    cfg = config.make_config(degradation_embedding_method=["all_DC"])
+    assert cfg.num_bands_all_methods == 2
+    cfg = config.make_config(degradation_embedding_method=["residual"])
+    assert cfg.num_bands_all_methods is None
+
+
+def test_options_log_format():
+    cfg = config.parse_args([])
+    lines = config.options_log_lines(cfg)
+    assert lines[0] == "|" + "=" * 151 + "|"
+    assert any("encoder_type" in l for l in lines)
