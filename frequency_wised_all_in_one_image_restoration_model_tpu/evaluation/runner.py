@@ -1,0 +1,95 @@
+"""Per-task evaluation runner (``test_by_task`` equivalent, test.py:17-84).
+
+Per task: build the test set, tile each image, one batched eval forward over
+the tile grid, overlap-average stitch, on-device PSNR/SSIM into
+AverageMeters, optional restored-image dump, and the reference's exact
+result string ``"PSNR/SSIM: %.2f/%.4f"``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.airnet import ModelBundle, eval_forward
+from ..ops import metrics
+from . import tiling
+
+
+def make_eval_fn(bundle: ModelBundle) -> Callable:
+    """Jitted eval forward over a tile mega-batch (reference test.py:59:
+    eval AirNet feeds the tile batch as both query and key)."""
+
+    @jax.jit
+    def fn(enc_vars, dec_vars, tiles):
+        return eval_forward(bundle, enc_vars, dec_vars, tiles)
+
+    return fn
+
+
+def restore_image(eval_fn, enc_vars, dec_vars, img: np.ndarray,
+                  patch: int) -> jax.Array:
+    """Tile -> forward -> stitch one image. Returns ``[H, W, C]`` on device."""
+    h, w = img.shape[:2]
+    tiles, offsets, n = tiling.extract_tiles(img, patch)
+    restored = eval_fn(enc_vars, dec_vars, jnp.asarray(tiles))
+    return tiling.stitch_tiles(restored, jnp.asarray(offsets),
+                               jnp.asarray(n), h, w)
+
+
+@functools.partial(jax.jit)
+def _psnr_ssim_single(restored, clean):
+    return (metrics.psnr(restored[None], clean[None])[0],
+            metrics.ssim(restored[None], clean[None])[0])
+
+
+def test_by_task(cfg: Config, bundle: ModelBundle, enc_vars, dec_vars,
+                 task: str, epochs: int,
+                 dataset: Optional[Iterable] = None,
+                 eval_fn: Optional[Callable] = None) -> str:
+    """Evaluate one task; returns the reference's result line
+    (test.py:80-84). ``dataset`` yields ``(name, degraded, clean)`` float01
+    HWC numpy arrays."""
+    if dataset is None:
+        dataset = build_test_dataset(cfg, task)
+    if eval_fn is None:
+        eval_fn = make_eval_fn(bundle)
+
+    psnr_meter = metrics.AverageMeter()
+    ssim_meter = metrics.AverageMeter()
+
+    save_dir = None
+    if cfg.save_imgs:
+        save_dir = os.path.join(cfg.output_path, f"epoch_{epochs}_imgs",
+                                f"test_{task}")
+        os.makedirs(save_dir, exist_ok=True)
+
+    patch = cfg.crop_test_imgs_size
+    assert patch % 8 == 0, "patch size should be a multiple of window_size"  # test.py:44
+
+    for name, degraded, clean in dataset:
+        restored = restore_image(eval_fn, enc_vars, dec_vars, degraded, patch)
+        p, s = _psnr_ssim_single(restored, jnp.asarray(clean))
+        psnr_meter.update(float(p), 1)
+        ssim_meter.update(float(s), 1)
+        if save_dir is not None:
+            from ..utils.image_io import save_image_float01
+            save_image_float01(np.asarray(restored),
+                               os.path.join(save_dir, name + ".png"))
+
+    return "PSNR/SSIM: %.2f/%.4f" % (psnr_meter.avg, ssim_meter.avg)
+
+
+def build_test_dataset(cfg: Config, task: str):
+    """Synthetic or file-backed test set for one task."""
+    if cfg.synthetic_data:
+        from ..data.synthetic import SyntheticTestSet
+        return SyntheticTestSet(cfg, task, seed=cfg.seed)
+    from ..data.datasets import FileTestDataset
+    return FileTestDataset(cfg, task)

@@ -50,9 +50,13 @@ def init_state(rng: jax.Array, params_q: Any, extra_q: Any,
     """Key encoder starts as an exact copy of the query encoder
     (moco.py:33-35; parameters only — BN running stats evolve separately,
     torch ``parameters()`` never covered buffers)."""
+    # real copies, not aliases: the whole train state is donated every step,
+    # and XLA rejects donating the same buffer twice
+    copy = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True), t)
     return MoCoState(
-        params_k=jax.tree_util.tree_map(jnp.asarray, params_q),
-        extra_k=jax.tree_util.tree_map(jnp.asarray, extra_q),
+        params_k=copy(params_q),
+        extra_k=copy(extra_q),
         queue=init_queue(rng, num_losses, dim, K),
         queue_ptr=jnp.zeros((), jnp.int32),
     )

