@@ -1,0 +1,193 @@
+"""Uformer restoration decoder — a full U-Net despite the name.
+
+Capability match for reference ``net/decoder_Uformer.py:835-1171``:
+InputProj -> 4 encoder stages (depths [2,2,8,8]) with downsample ->
+bottleneck_0 -> bottleneck_1 (the degradation-injection stage) -> 4 decoder
+stages (depths [8,8,2,2]) with transposed-conv upsample + skip-concat ->
+OutputProj -> global residual ``x + y``.
+
+Wiring divergences (all documented in PARITY.md — the reference's shipped
+forward passes ``None`` degradation tensors to every per-scale method and
+crashes, decoder_Uformer.py:1124,1147-1163):
+
+* per-scale methods (``residual``/``modulator``/``self_modulator``/
+  ``deform_conv``/``attention_residual``) consume the encoder's per-scale
+  pyramid features (``DegradationContext.pyramid``) whose dims are
+  ``encoder_embed_dim * 2^s`` — exactly the shape contract the reference's
+  own smoke test documents (decoder_Uformer.py:1192-1201);
+* ``attention_kv`` consumes the encoder's per-scale saved (K, V);
+* ``residual``'s Linears are registered parameters (the reference builds
+  them in a plain Python list with ``.cuda()`` so they are invisible to the
+  optimizer and lost from checkpoints, decoder_Uformer.py:883-885);
+* the ``all_*`` band modulation consumes the L per-band bottleneck features,
+  identical to the reference's live path (decoder_Uformer.py:275-288).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import Config
+from .encoder_uformer import DegradationContext
+from .layers import trunc_normal_init
+from .uformer_blocks import Downsample, InputProj, OutputProj, Upsample
+from .uformer_lewin import BasicUformerLayer
+
+DECODER_DEPTHS = (2, 2, 8, 8, 2, 8, 8, 2, 2)   # decoder_Uformer.py:837
+DECODER_HEADS = (1, 2, 4, 8, 16, 16, 8, 4, 2)
+
+
+def _band_config(cfg: Config):
+    """(all_bands_num, all_bands_dc) from the degradation methods
+    (decoder_Uformer.py:166-174) and (lamb_bands_num, lamb_bands_dc) from
+    frequency_decompose_type (:154-165)."""
+    all_num, all_dc = None, False
+    for m in cfg.degradation_embedding_method:
+        if m == "all_DC":
+            all_num, all_dc = 2, True
+        elif m.startswith("all_") and m.endswith("_bands"):
+            all_num, all_dc = int(m.split("_")[1]), False
+    lamb_num, lamb_dc = None, False
+    if cfg.frequency_decompose_type == "DC":
+        lamb_num, lamb_dc = 2, True
+    elif cfg.frequency_decompose_type != "none":
+        lamb_num, lamb_dc = int(cfg.frequency_decompose_type.split("_")[0]), False
+    return all_num, all_dc, lamb_num, lamb_dc
+
+
+class UformerDecoder(nn.Module):
+    cfg: Config
+    img_size: int = 128
+    in_chans: int = 3
+    out_chans: int = 3
+    drop_path_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inter, train: bool = False):
+        cfg = self.cfg
+        ed = cfg.embed_dim
+        det = not train
+        b, p = x.shape[0], x.shape[1]
+        methods = tuple(cfg.degradation_embedding_method)
+        per_scale = tuple(m for m in methods
+                          if m in ("modulator", "self_modulator", "deform_conv",
+                                   "attention_residual", "attention_kv"))
+        all_num, all_dc, lamb_num, lamb_dc = _band_config(cfg)
+
+        if isinstance(inter, DegradationContext):
+            band_inter = inter.band_inter
+            pyramid = inter.pyramid
+            kv = inter.kv
+        else:  # plain tensor from ResNet/ViT encoders: no uformer wiring
+            band_inter, pyramid, kv = None, None, None
+
+        if all_num is not None and (band_inter is None or len(band_inter) < all_num):
+            raise ValueError(
+                f"'all_*' methods need an encoder emitting >= {all_num} bands "
+                f"(got {0 if band_inter is None else len(band_inter)}); "
+                "use the Uformer encoder with L >= num_bands")
+
+        x = x.astype(self.dtype)
+        y = InputProj(ed, dtype=self.dtype, name="input_proj")(x)
+
+        n_enc = len(DECODER_DEPTHS) // 2
+        enc_dpr = list(np.linspace(0.0, self.drop_path_rate,
+                                   sum(DECODER_DEPTHS[:n_enc])))
+        conv_dpr = [self.drop_path_rate] * DECODER_DEPTHS[4]
+        dec_dpr = enc_dpr[::-1]
+
+        eed = cfg.encoder_embed_dim
+
+        def enc_stage(i, tokens):
+            depth = DECODER_DEPTHS[i]
+            lo = sum(DECODER_DEPTHS[:i])
+            return BasicUformerLayer(
+                dim=ed * (2 ** i), input_resolution=p // (2 ** i),
+                depth=depth, num_heads=DECODER_HEADS[i], win_size=8,
+                drop_path=enc_dpr[lo:lo + depth],
+                all_bands_num=all_num, all_bands_dc=all_dc,
+                lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
+                encoder_embed_dim=eed, dtype=self.dtype,
+                name=f"encoderlayer_{i}")(
+                    tokens, all_inter=band_inter, deterministic=det)[0]
+
+        convs = []
+        for i in range(4):
+            y = enc_stage(i, y)
+            convs.append(y)
+            y = Downsample(ed * (2 ** (i + 1)), dtype=self.dtype,
+                           name=f"dowsample_{i}")(y)
+
+        # Bottleneck 0 (no injection; decoder_Uformer.py:966-982)
+        y, _ = BasicUformerLayer(
+            dim=ed * 16, input_resolution=p // 16, depth=DECODER_DEPTHS[4],
+            num_heads=DECODER_HEADS[4], win_size=8, drop_path=conv_dpr,
+            all_bands_num=all_num, all_bands_dc=all_dc,
+            lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
+            encoder_embed_dim=eed, dtype=self.dtype,
+            name="bottleneck_0")(y, all_inter=band_inter, deterministic=det)
+
+        def residual_embed(i, deg, conv):
+            """Linear(cat(inter_i, conv_i)) per scale (decoder_Uformer.py:
+            1147-1148, 1159-1160) — with REGISTERED params."""
+            cat = jnp.concatenate([deg.astype(self.dtype), conv], axis=-1)
+            return nn.Dense(conv.shape[-1], kernel_init=trunc_normal_init,
+                            dtype=self.dtype, name=f"degradation_embed_{i}")(cat)
+
+        if "residual" in methods and pyramid is not None:
+            y = residual_embed(4, pyramid[4], y)
+
+        # Bottleneck 1: the degradation-injection stage (decoder_Uformer.py:
+        # 984-1003, 1150-1151)
+        y, _ = BasicUformerLayer(
+            dim=ed * 16, input_resolution=p // 16, depth=DECODER_DEPTHS[4],
+            num_heads=DECODER_HEADS[4], win_size=8, drop_path=conv_dpr,
+            injection=per_scale, degradation_dim=eed * 16,
+            all_bands_num=all_num, all_bands_dc=all_dc,
+            lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
+            encoder_embed_dim=eed, dtype=self.dtype,
+            name="bottleneck_1")(
+                y,
+                inter=None if pyramid is None else pyramid[4],
+                inter_kv=None if kv is None else kv[4],
+                all_inter=band_inter, deterministic=det)
+
+        # Decoder stages, deepest first (decoder_Uformer.py:1156-1163)
+        dec_specs = [  # (stage idx in depths arrays, scale s)
+            (5, 3), (6, 2), (7, 1), (8, 0)]
+        for depth_idx, s in dec_specs:
+            y = Upsample(ed * (2 ** s), dtype=self.dtype,
+                         name=f"upsample_{s}")(y)
+            skip = convs[s]
+            if "residual" in methods and pyramid is not None:
+                skip = residual_embed(s, pyramid[s], skip)
+            y = jnp.concatenate([y, skip], axis=-1)
+            lo = sum(DECODER_DEPTHS[5:depth_idx]) if depth_idx > 5 else 0
+            depth = DECODER_DEPTHS[depth_idx]
+            y, _ = BasicUformerLayer(
+                dim=ed * (2 ** (s + 1)), input_resolution=p // (2 ** s),
+                depth=depth, num_heads=DECODER_HEADS[depth_idx], win_size=8,
+                drop_path=dec_dpr[lo:lo + depth],
+                modulator=cfg.learnable_modulator,
+                injection=per_scale, degradation_dim=eed * (2 ** s),
+                all_bands_num=all_num, all_bands_dc=all_dc,
+                lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
+                encoder_embed_dim=eed, dtype=self.dtype,
+                name=f"decoderlayer_{s}")(
+                    y,
+                    inter=None if pyramid is None else pyramid[s],
+                    inter_kv=None if kv is None else kv[s],
+                    all_inter=band_inter, deterministic=det)
+
+        out = OutputProj(self.out_chans, dtype=self.dtype,
+                         name="output_proj")(y)
+        out = out.astype(jnp.float32)
+        if self.in_chans == 3:  # global residual (decoder_Uformer.py:1169-1171)
+            out = x.astype(jnp.float32) + out
+        return out

@@ -1,0 +1,521 @@
+"""Shared Uformer building blocks (LeWin transformer, window attention,
+frequency-band window attention, LeFF, projections, resampling).
+
+Capability match for the block zoo duplicated across the reference's
+``net/encoder_Uformer.py`` and ``net/decoder_Uformer.py`` (SepConv2d /
+Conv+LinearProjection :16-101, WindowAttention :103-186,
+FrequencyWindowAttention :190-313, Mlp/LeFF, Down/Upsample :425-460,
+Input/OutputProj :464-510, LeWinTransformerBlock :515-682,
+BasicUformerLayer :687-743), factored once and rebuilt TPU-first:
+
+* all attention masks (SW-MSA shift, intra/inter band) and the
+  relative-position bias index are **trace-time numpy constants**
+  (ops/windows.py) — the reference rebuilds shift masks on device in every
+  block forward (encoder_Uformer.py:613-631);
+* softmax and attention logits run in float32 regardless of the compute
+  dtype (PSNR-parity; SURVEY.md §7 precision notes);
+* token layout is channels-last ``[B, N, C]``; window partition is a pure
+  reshape;
+* the frequency-band regroup ``(l b nw) tok -> (b nw) (l tok)`` is a
+  reshape/transpose, free under XLA (encoder_Uformer.py:259-261).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import frequency, windows
+from ..ops.deform_conv import modulated_deform_conv2d
+from .layers import DropPath, Mlp, leaky_relu, to_image, to_tokens, trunc_normal_init
+
+# ---------------------------------------------------------------------------
+# Projections
+# ---------------------------------------------------------------------------
+
+
+class SepConv2d(nn.Module):
+    """Depthwise 3x3 -> act -> pointwise 1x1 (encoder_Uformer.py:16-43)."""
+
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        c = x.shape[-1]
+        pad = (self.kernel - self.stride) // 2
+        x = nn.Conv(c, (self.kernel, self.kernel), strides=self.stride,
+                    padding=pad, feature_group_count=c, dtype=self.dtype,
+                    name="depthwise")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                       name="pointwise")(x)
+
+
+class ConvProjection(nn.Module):
+    """Separable-conv q/k/v projection (encoder_Uformer.py:47-76). Unused by
+    the reference's live configs (token_projection defaults to 'linear') but
+    part of the API surface."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_kv=None):
+        b, n, c = x.shape
+        side = int(math.isqrt(n))
+        inner = self.heads * self.dim_head
+        kv = x if attn_kv is None else attn_kv
+        xi = to_image(x, side, side)
+        kvi = to_image(kv, side, side)
+        q = SepConv2d(inner, dtype=self.dtype, name="to_q")(xi)
+        k = SepConv2d(inner, dtype=self.dtype, name="to_k")(kvi)
+        v = SepConv2d(inner, dtype=self.dtype, name="to_v")(kvi)
+        split = lambda t: t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        return split(to_tokens(q)), split(to_tokens(k)), split(to_tokens(v))
+
+
+class LinearProjection(nn.Module):
+    """Linear q/kv projection with the decoder's kv-source variants
+    (decoder_Uformer.py:80-125):
+
+    * ``kv_source=None``: self-attention kv from x;
+    * ``'attention_residual'``: kv projected from a degradation map
+      (``dim_kv`` channels) windowed alongside x;
+    * ``'attention_kv'``: k/v re-projected from the encoder's saved
+      last-block K/V (heads folded to ``dim_kv`` then re-split).
+    """
+
+    heads: int
+    dim_head: int
+    dim_kv: Optional[int] = None
+    kv_source: Optional[str] = None
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_kv=None):
+        b, n, c = x.shape
+        inner = self.heads * self.dim_head
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=trunc_normal_init, name=name)
+
+        q = dense(inner, "to_q")(x)
+        q = q.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        if self.kv_source == "attention_kv":
+            # attn_kv = (K, V), each [B', heads_enc, N_kv, hd_enc]
+            k_in, v_in = attn_kv
+            fold = lambda t: t.transpose(0, 2, 1, 3).reshape(
+                t.shape[0], t.shape[2], -1)
+            k = dense(inner, "to_k")(fold(k_in))
+            v = dense(inner, "to_v")(fold(v_in))
+            n_kv = k.shape[1]
+            k = k.reshape(b, n_kv, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            v = v.reshape(b, n_kv, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            return q, k, v
+
+        kv_in = attn_kv if self.kv_source == "attention_residual" else x
+        kv = dense(2 * inner, "to_kv")(kv_in)
+        n_kv = kv.shape[1]
+        kv = kv.reshape(b, n_kv, 2, self.heads, self.dim_head)
+        kv = kv.transpose(2, 0, 3, 1, 4)
+        return q, kv[0], kv[1]
+
+
+# ---------------------------------------------------------------------------
+# Attention cores
+# ---------------------------------------------------------------------------
+
+
+def attention_core(q, k, v, bias, mask, nW: int, dtype) -> jax.Array:
+    """Masked window attention with fp32 softmax.
+
+    q,k,v: ``[B', heads, N, hd]`` (B' = B * nW); bias ``[heads, N, N_kv]`` or
+    None; mask ``[nW, N, N_kv]`` additive or None. Returns ``[B', N, heads*hd]``.
+    """
+    bq, h, n, hd = q.shape
+    scale = hd ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        logits = logits.reshape(bq // nW, nW, h, n, -1) + m[None, :, None]
+        logits = logits.reshape(bq, h, n, -1)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype), v.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(bq, n, h * hd).astype(dtype), attn
+
+
+class WindowAttention(nn.Module):
+    """W-MSA over ``win x win`` windows with learned relative position bias
+    (encoder_Uformer.py:103-183), plus the decoder-side extensions
+    (decoder_Uformer.py:128-299):
+
+    * ``all_bands_num`` + ``encoder_embed_dim``: frequency-decompose the
+      softmaxed attention map and add per-band copies scaled by
+      ``embed_lamb`` — an MLP of the encoder's per-band degradation
+      embedding ``all_inter[i]`` (the paper's degradation-conditioned
+      attention gain; decoder_Uformer.py:275-288);
+    * ``lamb_bands_num``: the learnable (input-independent) per-band gain
+      variant (decoder_Uformer.py:154-165, 263-274 — shipped behind
+      ``assert False`` in the reference; live here);
+    * ``kv_source``: see :class:`LinearProjection`;
+    * ``need_kv``: also return (K, V) for the decoder's ``attention_kv``.
+    """
+
+    dim: int
+    win_size: int
+    num_heads: int
+    num_win: int = 1                      # windows per image (for embed_lamb fold)
+    need_kv: bool = False
+    kv_source: Optional[str] = None
+    dim_kv: Optional[int] = None
+    all_bands_num: Optional[int] = None   # 'all_%_bands' N / 'all_DC' -> 2
+    all_bands_dc: bool = False            # True -> mean/residual split
+    lamb_bands_num: Optional[int] = None  # frequency_decompose_type variant
+    lamb_bands_dc: bool = False
+    encoder_embed_dim: int = 28
+    token_projection: str = "linear"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_kv=None, all_inter=None, mask=None):
+        b_, n, c = x.shape
+        h = self.num_heads
+        hd = self.dim // h
+
+        if self.token_projection == "conv":
+            q, k, v = ConvProjection(h, hd, dtype=self.dtype, name="qkv")(x, attn_kv)
+        else:
+            q, k, v = LinearProjection(h, hd, dim_kv=self.dim_kv,
+                                       kv_source=self.kv_source,
+                                       dtype=self.dtype, name="qkv")(x, attn_kv)
+
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           ((2 * self.win_size - 1) ** 2, h), jnp.float32)
+        bias = windows.gather_relative_bias(table, self.win_size, self.win_size)
+        n_kv = k.shape[2]
+        ratio = n_kv // bias.shape[-1]
+        if ratio > 1:  # kv longer than the window (encoder_Uformer.py:161-162)
+            bias = jnp.tile(bias, (1, 1, ratio))
+
+        nW = mask.shape[0] if mask is not None else 1
+        if mask is not None and ratio > 1:
+            mask = jnp.tile(mask, (1, 1, ratio))
+
+        out, attn = attention_core(q, k, v, bias, mask, nW, self.dtype)
+
+        # ---- attention-map frequency modulation -------------------------
+        if self.lamb_bands_num is not None:
+            nb = self.lamb_bands_num
+            if self.lamb_bands_dc:
+                bands = frequency.frequency_decompose_dc(attn)
+            else:
+                bands = frequency.frequency_decompose(attn, nb)
+            lamb = self.param("lamb", nn.initializers.zeros,
+                              (bands.shape[0] - 1, 1, h), jnp.float32)
+            mod = jnp.sum(bands[1:] * lamb[:, :, :, None, None], axis=0)
+            attn = attn + mod
+            out = _reapply_attention(attn, v, self.dtype)
+
+        embed_lambs = []
+        if self.all_bands_num is not None:
+            nb = self.all_bands_num
+            if self.all_bands_dc:
+                bands = frequency.frequency_decompose_dc(attn)
+            else:
+                bands = frequency.frequency_decompose_1(attn, nb - 1)
+            new_attn = attn
+            for i in range(1, nb):
+                # embed_lamb: per-head gain from the band-i degradation
+                # embedding (decoder_Uformer.py:279-288)
+                g = nn.LayerNorm(dtype=jnp.float32, name=f"lamb_norm_{i}")(
+                    all_inter[i].astype(jnp.float32))
+                g = nn.Dense(h, kernel_init=trunc_normal_init,
+                             dtype=self.dtype, name=f"lamb_head_{i}")(g)
+                g = jnp.mean(g, axis=1, keepdims=True)  # avg over tokens
+                g = nn.Dense(h, kernel_init=trunc_normal_init,
+                             dtype=self.dtype, name=f"lamb_mlp_{i}_0")(g)
+                g = leaky_relu(g)
+                g = nn.Dense(h, kernel_init=trunc_normal_init,
+                             dtype=self.dtype, name=f"lamb_mlp_{i}_1")(g)
+                embed_lambs.append(g)
+                band = bands[i].reshape(-1, self.num_win, h, n, n)
+                band = band * g.astype(jnp.float32)[:, :, :, None, None]
+                new_attn = new_attn + band.reshape(-1, h, n, n)
+            attn = new_attn
+            out = _reapply_attention(attn, v, self.dtype)
+
+        # debug_mode capture (reference decoder_Uformer.py:296-297,668-673):
+        # a no-op unless 'intermediates' is made mutable by the caller
+        self.sow("intermediates", "attn_map", attn)
+        for i, g in enumerate(embed_lambs):
+            self.sow("intermediates", f"embed_lamb_{i + 1}", g)
+
+        out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
+                       dtype=self.dtype, name="proj")(out)
+        kv_out = (k, v) if self.need_kv else None
+        return out, kv_out, embed_lambs
+
+
+def _reapply_attention(attn, v, dtype):
+    bq, h, n, _ = attn.shape
+    hd = v.shape[-1]
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype), v.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(bq, n, h * hd).astype(dtype)
+
+
+class FrequencyWindowAttention(nn.Module):
+    """Intra/inter frequency-band window attention — the paper's core op
+    (encoder_Uformer.py:190-313).
+
+    Tokens arrive band-folded into the batch ``(l b nw) tok c``; q/k/v are
+    regrouped to one ``L*win^2``-token window ``(b nw) (l tok)``; an L x L
+    grid of relative-position-bias tables covers every band pair; an
+    additive ±100 block mask restricts attention to same-band pairs
+    (``kind='intra'``) or cross-band pairs (``'inter'``).
+    """
+
+    dim: int
+    win_size: int
+    num_heads: int
+    L: int
+    kind: str  # 'intra' | 'inter'
+    need_kv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_kv=None, mask=None):
+        b_, n, c = x.shape  # B_ = L * B * nW
+        h = self.num_heads
+        hd = self.dim // h
+        L = self.L
+
+        q, k, v = LinearProjection(h, hd, dtype=self.dtype, name="qkv")(x, attn_kv)
+
+        # (l bnw) h tok d -> bnw h (l tok) d   (encoder_Uformer.py:259-261)
+        def regroup(t):
+            return t.reshape(L, b_ // L, h, n, hd).transpose(1, 2, 0, 3, 4) \
+                    .reshape(b_ // L, h, L * n, hd)
+
+        q, k, v = regroup(q), regroup(k), regroup(v)
+
+        # L x L bias tables assembled into one [h, L*n, L*n] block bias
+        tables = self.param(
+            "relative_position_bias_tables", trunc_normal_init,
+            (L * L, (2 * self.win_size - 1) ** 2, h), jnp.float32)
+        idx = jnp.asarray(windows.relative_position_index(self.win_size,
+                                                          self.win_size))
+        per_pair = tables[:, idx.reshape(-1), :].reshape(L * L, n, n, h)
+        per_pair = per_pair.transpose(0, 3, 1, 2)          # [L*L, h, n, n]
+        bias = per_pair.reshape(L, L, h, n, n).transpose(2, 0, 3, 1, 4) \
+                       .reshape(h, L * n, L * n)
+
+        band = jnp.asarray(windows.band_mask(L, n, self.kind))
+        bias = bias + band[None]
+
+        full_mask = None
+        nW = 1
+        if mask is not None:  # [nW, n, n] -> [nW, L*n, L*n]
+            nW = mask.shape[0]
+            full_mask = jnp.tile(mask, (1, L, L))
+
+        out, attn = attention_core(q, k, v, bias, full_mask, nW, self.dtype)
+        self.sow("intermediates", "attn_map", attn)
+        # back to (l bnw) tok c
+        out = out.reshape(b_ // L, L, n, c).transpose(1, 0, 2, 3).reshape(b_, n, c)
+        out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
+                       dtype=self.dtype, name="proj")(out)
+        kv_out = (k, v) if self.need_kv else None
+        return out, kv_out
+
+
+# ---------------------------------------------------------------------------
+# FFN / resampling / projections
+# ---------------------------------------------------------------------------
+
+
+class ECA1d(nn.Module):
+    """1-D efficient channel attention (leff.py:44-69)."""
+
+    k_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, C]
+        y = jnp.mean(x, axis=1)[:, :, None]  # [B, C, 1]
+        kern = self.param("conv", nn.initializers.lecun_normal(),
+                          (self.k_size, 1, 1), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            y.astype(self.dtype), kern.astype(self.dtype), (1,), "SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        y = jax.nn.sigmoid(y)  # [B, C, 1]
+        return x * y.transpose(0, 2, 1)
+
+
+class LeFF(nn.Module):
+    """Locally-enhanced FFN: Linear-GELU -> 3x3 depthwise conv -> Linear
+    (leff.py:71-117); optional deformable-conv variant conditioned on the
+    degradation map (leff.py:79-83, 103-107) and optional ECA."""
+
+    hidden: int
+    deform: bool = False
+    degradation_dim: int = -1
+    use_eca: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inter=None):  # [B, N, C]
+        b, n, c = x.shape
+        side = int(math.isqrt(n))
+        y = nn.Dense(self.hidden, kernel_init=trunc_normal_init,
+                     dtype=self.dtype, name="linear1")(x)
+        y = nn.gelu(y)
+        img = to_image(y, side, side)
+        if self.deform:
+            g = nn.Dense(self.hidden, kernel_init=trunc_normal_init,
+                         dtype=self.dtype, name="linear_inter")(inter)
+            g = nn.gelu(g)
+            g = to_image(g, side, side)
+            img = DCNLayerLeFF(self.hidden, dtype=self.dtype,
+                               name="dcn")(img, g)
+        else:
+            img = nn.Conv(self.hidden, (3, 3), padding=1,
+                          feature_group_count=self.hidden, dtype=self.dtype,
+                          name="dwconv")(img)
+        img = nn.gelu(img)
+        y = to_tokens(img)
+        y = nn.Dense(c, kernel_init=trunc_normal_init, dtype=self.dtype,
+                     name="linear2")(y)
+        if self.use_eca:
+            y = ECA1d(dtype=self.dtype, name="eca")(y)
+        return y
+
+
+class DCNLayerLeFF(nn.Module):
+    """Deformable conv used inside LeFF (same op as decoder_dgrn.DCNLayer,
+    kept separate to avoid a circular import)."""
+
+    channels_out: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inter):
+        k = self.kernel_size
+        pad = (k - 1) // 2
+        cin = x.shape[-1]
+        om = nn.Conv(3 * k * k, (k, k), padding=pad,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="conv_offset_mask")(
+                         jnp.concatenate([x, inter], axis=-1))
+        o1, o2, m = jnp.split(om, 3, axis=-1)
+        offset = jnp.concatenate([o1, o2], axis=-1)
+        mask = jax.nn.sigmoid(m)
+        stdv = 1.0 / math.sqrt(cin * k * k)
+        weight = self.param("weight", nn.initializers.uniform(scale=2 * stdv),
+                            (k, k, cin, self.channels_out), jnp.float32) - stdv
+        return modulated_deform_conv2d(x, offset, mask,
+                                       weight.astype(self.dtype), None,
+                                       padding=pad)
+
+
+class Downsample(nn.Module):
+    """Strided conv downsample on tokens (encoder_Uformer.py:425-441;
+    generalized kernel/stride for the decoder's degradation modulator,
+    decoder_Uformer.py:414-430)."""
+
+    out_ch: int
+    kernel: int = 4
+    stride: Any = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, C]
+        b, n, c = x.shape
+        side = int(math.isqrt(n))
+        stride = (self.stride if isinstance(self.stride, tuple)
+                  else (self.stride, self.stride))
+        pad = (self.kernel - 1) // 2
+        img = to_image(x, side, side)
+        img = nn.Conv(self.out_ch, (self.kernel, self.kernel), strides=stride,
+                      padding=pad, dtype=self.dtype, name="conv")(img)
+        return to_tokens(img)
+
+
+class Upsample(nn.Module):
+    """Transposed-conv 2x upsample on tokens (encoder_Uformer.py:445-460)."""
+
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        side = int(math.isqrt(n))
+        img = to_image(x, side, side)
+        img = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
+                               dtype=self.dtype, name="deconv")(img)
+        return to_tokens(img)
+
+
+class InputProj(nn.Module):
+    """conv3x3 + LeakyReLU -> tokens (encoder_Uformer.py:464-483)."""
+
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        y = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="proj")(x)
+        return to_tokens(nn.leaky_relu(y, negative_slope=0.01))
+
+
+class OutputProj(nn.Module):
+    """tokens -> conv3x3 image (encoder_Uformer.py:487-510)."""
+
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, C]
+        b, n, c = x.shape
+        side = int(math.isqrt(n))
+        img = to_image(x, side, side)
+        return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                       name="proj")(img)
+
+
+class SelfModulatedLayerNorm(nn.Module):
+    """Affine-free LN then SPADE-style (1+gamma)*x + beta with gamma/beta
+    linear in the degradation map (net/utils/self_modulated_layernorm.py:8-26)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inter):
+        gamma = nn.Dense(self.dim, kernel_init=trunc_normal_init,
+                         dtype=self.dtype, name="mlp_gamma")(inter)
+        beta = nn.Dense(self.dim, kernel_init=trunc_normal_init,
+                        dtype=self.dtype, name="mlp_beta")(inter)
+        out = nn.LayerNorm(epsilon=1e-3, use_bias=False, use_scale=False,
+                           dtype=jnp.float32, name="norm")(x)
+        return out.astype(self.dtype) * (1.0 + gamma) + beta

@@ -1,0 +1,249 @@
+"""LeWin transformer block + stage layer, for both Uformer halves.
+
+Reference: encoder_Uformer.py:515-743 (encoder flavor: origin/freq MSA,
+need_kv) and decoder_Uformer.py:504-832 (decoder flavor: degradation
+injection methods). One implementation here, parameterized.
+
+Degradation-injection methods (decoder_Uformer.py:504-756), all live:
+
+* ``modulator``           — the degradation map strided down to win x win,
+                            concat-embedded into every window's tokens
+                            (:541-548, 693-706);
+* ``self_modulator``      — SelfModulatedLayerNorm replaces norm1/norm2
+                            (:560-567, 587-594, 663-666, 741-744);
+* ``deform_conv``         — LeFF's depthwise conv becomes a DCN conditioned
+                            on the degradation map (:600-603, 746-749);
+* ``attention_residual``  — windowed degradation map is the KV source
+                            (:569-573, 709-714);
+* ``attention_kv``        — encoder's saved last-block K/V re-projected as
+                            KV (:715-716, 101-113);
+* ``all_%_bands``/``all_DC`` — attention-map band modulation via embed_lamb
+                            (handled inside WindowAttention).
+
+Shift masks are trace-time constants; the cyclic roll is ``jnp.roll``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import windows as win_ops
+from .layers import DropPath, Mlp, leaky_relu, to_image, to_tokens
+from .uformer_blocks import (Downsample, FrequencyWindowAttention, LeFF,
+                             SelfModulatedLayerNorm, WindowAttention)
+
+
+class LeWinBlock(nn.Module):
+    """One (S)W-MSA + LeFF block."""
+
+    dim: int
+    input_resolution: int
+    num_heads: int
+    win_size: int = 8
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    token_mlp: str = "leff"
+    token_projection: str = "linear"
+    # encoder MSA flavor
+    msa_type: str = "origin"          # 'origin' | 'freq'
+    L: int = 1
+    need_kv: bool = False
+    # learned window modulators (decoder option; encoder keeps them off)
+    modulator: bool = False
+    # degradation injection (decoder)
+    injection: Tuple[str, ...] = ()
+    degradation_dim: int = -1
+    all_bands_num: Optional[int] = None
+    all_bands_dc: bool = False
+    lamb_bands_num: Optional[int] = None
+    lamb_bands_dc: bool = False
+    encoder_embed_dim: int = 28
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inter=None, inter_kv=None, all_inter=None,
+                 deterministic: bool = True):
+        b, n, c = x.shape
+        res = self.input_resolution
+        win = min(self.win_size, res)
+        shift = self.shift_size if res > self.win_size else 0
+        nw = (res // win) ** 2
+
+        attn_mask = None
+        if shift > 0:
+            attn_mask = jnp.asarray(win_ops.shift_attn_mask(res, res, win, shift))
+
+        shortcut = x
+
+        # norm1 (optionally self-modulated by the degradation map)
+        if "self_modulator" in self.injection:
+            g = nn.LayerNorm(dtype=jnp.float32, name="norm1_deg_norm")(
+                inter.astype(jnp.float32)).astype(self.dtype)
+            g = leaky_relu(g)
+            x = SelfModulatedLayerNorm(self.dim, dtype=self.dtype,
+                                       name="norm1")(x, g)
+        else:
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+
+        img = to_image(x, res, res)
+        if shift > 0:
+            img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+        xw = win_ops.window_partition(img, win).reshape(-1, win * win, c)
+
+        if self.modulator:
+            pos = self.param("modulator", nn.initializers.normal(1.0),
+                             (win * win, self.dim), jnp.float32)
+            xw = xw + pos.astype(self.dtype)[None]
+
+        if "modulator" in self.injection:
+            # degradation map -> one win x win token grid, concat-embedded
+            # into every window (decoder_Uformer.py:693-706)
+            mod = Downsample(self.dim, kernel=1, stride=res // win,
+                             dtype=self.dtype, name="degradation_modulator")(inter)
+            mod = nn.LayerNorm(dtype=jnp.float32,
+                               name="degradation_modulator_norm")(mod)
+            mod = leaky_relu(mod.astype(self.dtype))
+            mod = jnp.repeat(mod[:, None], nw, axis=1)  # [B, nW, win², dim]
+            xw = xw.reshape(b, nw, win * win, c)
+            xw = jnp.concatenate([mod, xw], axis=-1)
+            xw = nn.Dense(self.dim, dtype=self.dtype,
+                          name="degradation_modulator_embed")(xw)
+            xw = xw.reshape(-1, win * win, c)
+
+        kv_out = None
+        if self.msa_type == "freq":
+            xw, kv_out = FrequencyWindowAttention(
+                self.dim, win, self.num_heads, L=self.L, kind="intra",
+                need_kv=False, dtype=self.dtype, name="attn_intra")(
+                    xw, mask=attn_mask)
+            xw, kv_out = FrequencyWindowAttention(
+                self.dim, win, self.num_heads, L=self.L, kind="inter",
+                need_kv=self.need_kv, dtype=self.dtype, name="attn_inter")(
+                    xw, mask=attn_mask)
+            embed_lambs = []
+        else:
+            attn_kv = None
+            kv_source = None
+            if "attention_residual" in self.injection:
+                gi = nn.LayerNorm(dtype=jnp.float32,
+                                  name="attn_deg_norm")(inter.astype(jnp.float32))
+                gi = leaky_relu(gi.astype(self.dtype))
+                gimg = to_image(gi, res, res)
+                if shift > 0:
+                    gimg = jnp.roll(gimg, (-shift, -shift), axis=(1, 2))
+                attn_kv = win_ops.window_partition(gimg, win).reshape(
+                    -1, win * win, self.degradation_dim)
+                kv_source = "attention_residual"
+            elif "attention_kv" in self.injection:
+                attn_kv = inter_kv
+                kv_source = "attention_kv"
+            xw, kv_out, embed_lambs = WindowAttention(
+                self.dim, win, self.num_heads, num_win=nw,
+                need_kv=self.need_kv, kv_source=kv_source,
+                dim_kv=self.degradation_dim,
+                all_bands_num=self.all_bands_num,
+                all_bands_dc=self.all_bands_dc,
+                lamb_bands_num=self.lamb_bands_num,
+                lamb_bands_dc=self.lamb_bands_dc,
+                encoder_embed_dim=self.encoder_embed_dim,
+                token_projection=self.token_projection,
+                dtype=self.dtype, name="attn")(
+                    xw, attn_kv=attn_kv, all_inter=all_inter, mask=attn_mask)
+
+        img = win_ops.window_reverse(xw.reshape(-1, win, win, c), win, res, res)
+        if shift > 0:
+            img = jnp.roll(img, (shift, shift), axis=(1, 2))
+        x = to_tokens(img)
+
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            x, deterministic)
+
+        # norm2 + FFN
+        if "self_modulator" in self.injection:
+            g2 = nn.LayerNorm(dtype=jnp.float32, name="norm2_deg_norm")(
+                inter.astype(jnp.float32)).astype(self.dtype)
+            g2 = leaky_relu(g2)
+            y = SelfModulatedLayerNorm(self.dim, dtype=self.dtype,
+                                       name="norm2")(x, g2)
+        else:
+            y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.token_mlp in ("ffn", "mlp"):
+            y = Mlp(hidden, dtype=self.dtype, name="mlp")(y)
+        elif "deform_conv" in self.injection:
+            # reference narrows hidden to dim for the DCN variant
+            # (decoder_Uformer.py:600-601)
+            y = LeFF(self.dim, deform=True,
+                     degradation_dim=self.degradation_dim,
+                     dtype=self.dtype, name="mlp")(y, inter)
+        else:
+            y = LeFF(hidden, dtype=self.dtype, name="mlp")(y)
+
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        return x, kv_out
+
+
+class BasicUformerLayer(nn.Module):
+    """A stage of LeWin blocks; odd blocks shifted by win//2 when
+    ``shift_flag`` (encoder_Uformer.py:687-743)."""
+
+    dim: int
+    input_resolution: int
+    depth: int
+    num_heads: int
+    win_size: int = 8
+    mlp_ratio: float = 4.0
+    drop_path: Sequence[float] = ()
+    token_mlp: str = "leff"
+    token_projection: str = "linear"
+    shift_flag: bool = True
+    msa_type: str = "origin"
+    L: int = 1
+    need_kv: bool = False
+    modulator: bool = False
+    injection: Tuple[str, ...] = ()
+    degradation_dim: int = -1
+    all_bands_num: Optional[int] = None
+    all_bands_dc: bool = False
+    lamb_bands_num: Optional[int] = None
+    lamb_bands_dc: bool = False
+    encoder_embed_dim: int = 28
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inter=None, inter_kv=None, all_inter=None,
+                 deterministic: bool = True):
+        kv = None
+        dp = list(self.drop_path) or [0.0] * self.depth
+        for i in range(self.depth):
+            shift = (self.win_size // 2
+                     if (self.shift_flag and i % 2 == 1) else 0)
+            x, kv_i = LeWinBlock(
+                dim=self.dim, input_resolution=self.input_resolution,
+                num_heads=self.num_heads, win_size=self.win_size,
+                shift_size=shift, mlp_ratio=self.mlp_ratio,
+                drop_path=dp[i] if i < len(dp) else dp[-1],
+                token_mlp=self.token_mlp,
+                token_projection=self.token_projection,
+                msa_type=self.msa_type, L=self.L,
+                need_kv=(self.need_kv and i + 1 == self.depth),
+                modulator=self.modulator,
+                injection=self.injection,
+                degradation_dim=self.degradation_dim,
+                all_bands_num=self.all_bands_num,
+                all_bands_dc=self.all_bands_dc,
+                lamb_bands_num=self.lamb_bands_num,
+                lamb_bands_dc=self.lamb_bands_dc,
+                encoder_embed_dim=self.encoder_embed_dim,
+                dtype=self.dtype, name=f"block{i}")(
+                    x, inter=inter, inter_kv=inter_kv, all_inter=all_inter,
+                    deterministic=deterministic)
+            if kv_i is not None:
+                kv = kv_i
+        return x, kv

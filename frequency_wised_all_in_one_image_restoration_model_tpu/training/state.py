@@ -67,17 +67,21 @@ def create_train_state(cfg: Config, bundle: ModelBundle, rng: jax.Array,
     """Initialize params, MoCo state (key encoder = copy of query encoder,
     queue = normalized randn; moco.py:33-40), and optimizer state."""
     r_enc, r_dec, r_queue, r_state = jax.random.split(rng, 4)
-    x = sample_batch["d1"]
+    x = jnp.asarray(sample_batch["d1"])
 
-    enc_vars = bundle.encoder.init(
-        {"params": r_enc, "droppath": r_enc, "dropout": r_enc}, x, train=True)
+    # init under jit: eager init dispatches every op individually, which is
+    # pathological over a remote-device link (and slow everywhere)
+    enc_init = jax.jit(lambda r, x: bundle.encoder.init(
+        {"params": r, "droppath": r, "dropout": r}, x, train=True))
+    enc_vars = enc_init(r_enc, x)
     enc_params = enc_vars["params"]
     enc_extra = {k: v for k, v in enc_vars.items() if k != "params"}
 
-    _, _, inter = bundle.encoder.apply(enc_vars, x, train=False)
-    dec_vars = bundle.decoder.init(
-        {"params": r_dec, "droppath": r_dec, "dropout": r_dec},
-        x, inter, train=True)
+    _, _, inter = jax.jit(
+        lambda v, x: bundle.encoder.apply(v, x, train=False))(enc_vars, x)
+    dec_init = jax.jit(lambda r, x, inter: bundle.decoder.init(
+        {"params": r, "droppath": r, "dropout": r}, x, inter, train=True))
+    dec_vars = dec_init(r_dec, x, inter)
     dec_params = dec_vars["params"]
     dec_extra = {k: v for k, v in dec_vars.items() if k != "params"}
 
