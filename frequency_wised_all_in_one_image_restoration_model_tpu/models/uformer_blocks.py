@@ -137,14 +137,42 @@ class LinearProjection(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def attention_core(q, k, v, bias, mask, nW: int, dtype) -> jax.Array:
+def use_fused_attention() -> bool:
+    """Fused Pallas window attention: on for TPU backends, overridable via
+    FAIRM_FUSED_ATTENTION=0/1."""
+    import os
+
+    flag = os.environ.get("FAIRM_FUSED_ATTENTION")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
+def attention_core(q, k, v, bias, mask, nW: int, dtype, need_probs=True):
     """Masked window attention with fp32 softmax.
 
     q,k,v: ``[B', heads, N, hd]`` (B' = B * nW); bias ``[heads, N, N_kv]`` or
-    None; mask ``[nW, N, N_kv]`` additive or None. Returns ``[B', N, heads*hd]``.
+    None; mask ``[nW, N, N_kv]`` additive or None. Returns
+    ``([B', N, heads*hd], attn-or-None)``.
+
+    When the caller does not need the attention probabilities
+    (``need_probs=False``) and a TPU backend is active, this dispatches to
+    the fused Pallas kernel (ops/pallas/window_attention.py), which keeps
+    the logits in VMEM — the XLA lowering of this op materializes them in
+    HBM and runs at ~1% MXU.
     """
     bq, h, n, hd = q.shape
     scale = hd ** -0.5
+
+    if not need_probs and use_fused_attention():
+        from ..ops.pallas.window_attention import fused_window_attention
+
+        b = bias if bias is not None else jnp.zeros(
+            (h, n, k.shape[2]), jnp.float32)
+        out = fused_window_attention(q.astype(dtype), k.astype(dtype),
+                                     v.astype(dtype), b, mask, scale, nW)
+        return out.transpose(0, 2, 1, 3).reshape(bq, n, h * hd), None
+
     logits = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale,
                         k.astype(jnp.float32),
                         preferred_element_type=jnp.float32)
@@ -217,7 +245,13 @@ class WindowAttention(nn.Module):
         if mask is not None and ratio > 1:
             mask = jnp.tile(mask, (1, 1, ratio))
 
-        out, attn = attention_core(q, k, v, bias, mask, nW, self.dtype)
+        dc_fast = self.all_bands_dc and n == k.shape[2]
+        need_probs = (
+            self.lamb_bands_num is not None
+            or (self.all_bands_num is not None and not dc_fast)
+            or self.is_mutable_collection("intermediates"))
+        out, attn = attention_core(q, k, v, bias, mask, nW, self.dtype,
+                                   need_probs=need_probs)
 
         # ---- attention-map frequency modulation -------------------------
         if self.lamb_bands_num is not None:
@@ -235,12 +269,8 @@ class WindowAttention(nn.Module):
         embed_lambs = []
         if self.all_bands_num is not None:
             nb = self.all_bands_num
-            if self.all_bands_dc:
-                bands = frequency.frequency_decompose_dc(attn)
-            else:
-                bands = frequency.frequency_decompose_1(attn, nb - 1)
-            new_attn = attn
-            for i in range(1, nb):
+
+            def band_gain(i):
                 # embed_lamb: per-head gain from the band-i degradation
                 # embedding (decoder_Uformer.py:279-288)
                 g = nn.LayerNorm(dtype=jnp.float32, name=f"lamb_norm_{i}")(
@@ -254,15 +284,46 @@ class WindowAttention(nn.Module):
                 g = nn.Dense(h, kernel_init=trunc_normal_init,
                              dtype=self.dtype, name=f"lamb_mlp_{i}_1")(g)
                 embed_lambs.append(g)
-                band = bands[i].reshape(-1, self.num_win, h, n, n)
-                band = band * g.astype(jnp.float32)[:, :, :, None, None]
-                new_attn = new_attn + band.reshape(-1, h, n, n)
-            attn = new_attn
-            out = _reapply_attention(attn, v, self.dtype)
+                return g  # [B, 1, heads]
+
+            if self.all_bands_dc and n == k.shape[2]:
+                # EXACT algebraic fast path for all_DC: every row of the
+                # softmaxed attention sums to 1, so its DC component (the
+                # matrix mean) is exactly 1/n, and the modulation
+                #   attn + (attn - dc) * λ = (1+λ)·attn − (λ/n)
+                # applied to V collapses to a rescale plus a rank-1 term:
+                #   out' = (1+λ)·out − (λ/n)·Σ_m V[m, :]
+                # — no FFT, no attention-map rematerialization. Matches the
+                # materialized reference computation bit-for-bit up to fp
+                # association (tests/test_uformer_perf.py).
+                g = band_gain(1)  # [B, 1, h]
+                lam = g.reshape(-1, 1, h).astype(jnp.float32)
+                lam = jnp.repeat(lam, self.num_win, axis=1).reshape(-1, h)
+                v_sum = jnp.sum(v.astype(jnp.float32), axis=2)  # [B', h, d]
+                out_h = out.reshape(b_, n, h, hd).transpose(0, 2, 1, 3)
+                out_h = (out_h.astype(jnp.float32)
+                         * (1.0 + lam)[:, :, None, None]
+                         - (lam / n)[:, :, None, None] * v_sum[:, :, None, :])
+                out = out_h.transpose(0, 2, 1, 3).reshape(b_, n, h * hd)
+                out = out.astype(self.dtype)
+            else:
+                if self.all_bands_dc:
+                    bands = frequency.frequency_decompose_dc(attn)
+                else:
+                    bands = frequency.frequency_decompose_1(attn, nb - 1)
+                new_attn = attn
+                for i in range(1, nb):
+                    g = band_gain(i)
+                    band = bands[i].reshape(-1, self.num_win, h, n, n)
+                    band = band * g.astype(jnp.float32)[:, :, :, None, None]
+                    new_attn = new_attn + band.reshape(-1, h, n, n)
+                attn = new_attn
+                out = _reapply_attention(attn, v, self.dtype)
 
         # debug_mode capture (reference decoder_Uformer.py:296-297,668-673):
         # a no-op unless 'intermediates' is made mutable by the caller
-        self.sow("intermediates", "attn_map", attn)
+        if attn is not None:
+            self.sow("intermediates", "attn_map", attn)
         for i, g in enumerate(embed_lambs):
             self.sow("intermediates", f"embed_lamb_{i + 1}", g)
 
@@ -335,8 +396,11 @@ class FrequencyWindowAttention(nn.Module):
             nW = mask.shape[0]
             full_mask = jnp.tile(mask, (1, L, L))
 
-        out, attn = attention_core(q, k, v, bias, full_mask, nW, self.dtype)
-        self.sow("intermediates", "attn_map", attn)
+        out, attn = attention_core(
+            q, k, v, bias, full_mask, nW, self.dtype,
+            need_probs=self.is_mutable_collection("intermediates"))
+        if attn is not None:
+            self.sow("intermediates", "attn_map", attn)
         # back to (l bnw) tok c
         out = out.reshape(b_ // L, L, n, c).transpose(1, 0, 2, 3).reshape(b_, n, c)
         out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
