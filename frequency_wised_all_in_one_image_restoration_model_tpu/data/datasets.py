@@ -28,8 +28,12 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..config import Config
-from . import augment
-from ..utils.image_io import load_image_rgb
+from . import augment, native
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """Decode via the native runtime when built, PIL otherwise."""
+    return native.decode_rgb(path)
 
 
 def derive_gt_name(input_file: str) -> str:
@@ -125,26 +129,34 @@ class FileTrainLoader:
             sigma = int(task.split("_")[-1])
             if sigma == 0:
                 sigma = int(self.rng.choice([15, 25, 50]))
-            degraded = np.clip(
-                gt + self.rng.standard_normal(gt.shape) * sigma, 0, 255
-            ).astype(np.uint8)
+            degraded = native.gaussian_noise_u8(
+                gt, float(sigma), int(self.rng.integers(0, 2 ** 62)))
         else:
             degraded = augment.crop_img(load_image_rgb(input_id), base=16)
         name = os.path.basename(gt_id).split(".")[0]
         return name, degraded, gt
 
+    def _crop_pair(self, degraded, gt):
+        """One random window + forced dihedral for both images (fused in the
+        native runtime when available)."""
+        h, w = gt.shape[0], gt.shape[1]
+        iy = int(self.rng.integers(0, h - self.patch + 1))
+        ix = int(self.rng.integers(0, w - self.patch + 1))
+        mode = int(self.rng.integers(1, 8))  # never identity (image_utils.py:177-182)
+        dp = native.crop_augment_f32(degraded, iy, ix, self.patch, mode)
+        cp = native.crop_augment_f32(gt, iy, ix, self.patch, mode)
+        return dp, cp
+
     def next_batch(self) -> Dict[str, np.ndarray]:
         d1, d2, c1, c2, ids, names = [], [], [], [], [], []
         for i, task in enumerate(self.tasks):
             name, degraded, gt = self._sample(i)
-            dp1, cp1 = augment.paired_random_crop(degraded, gt, self.patch, self.rng)
-            dp1, cp1 = augment.random_augmentation(dp1, cp1, rng=self.rng)
-            dp2, cp2 = augment.paired_random_crop(degraded, gt, self.patch, self.rng)
-            dp2, cp2 = augment.random_augmentation(dp2, cp2, rng=self.rng)
-            d1.append(augment.to_float01(dp1))
-            d2.append(augment.to_float01(dp2))
-            c1.append(augment.to_float01(cp1))
-            c2.append(augment.to_float01(cp2))
+            dp1, cp1 = self._crop_pair(degraded, gt)
+            dp2, cp2 = self._crop_pair(degraded, gt)
+            d1.append(dp1)
+            d2.append(dp2)
+            c1.append(cp1)
+            c2.append(cp2)
             ids.append(i)
             names.append(name)
         return {"d1": np.stack(d1), "d2": np.stack(d2),

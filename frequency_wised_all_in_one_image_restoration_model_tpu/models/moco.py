@@ -83,8 +83,13 @@ def contrastive_logits(q: jax.Array, k: jax.Array, queue: jax.Array,
     Returns logits ``[num_losses, B, 1+K]`` (positive first — labels are all
     zeros, moco.py:141-161).
     """
-    l_pos = jnp.einsum("lbc,lbc->lb", q, k)[..., None]
-    l_neg = jnp.einsum("lbc,lck->lbk", q, jax.lax.stop_gradient(queue))
+    # fp32-pinned: JAX's default matmul precision truncates operands to
+    # bf16 (on TPU *and* CPU), which perturbs the contrastive logits at the
+    # 1e-3 level; these contractions are tiny, so exactness is free
+    l_pos = jnp.einsum("lbc,lbc->lb", q, k,
+                       precision=jax.lax.Precision.HIGHEST)[..., None]
+    l_neg = jnp.einsum("lbc,lck->lbk", q, jax.lax.stop_gradient(queue),
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate([l_pos, l_neg], axis=-1) / T
 
 

@@ -50,17 +50,21 @@ def ring_masks(h: int, w: int, num_bands: int, variant: str = "open") -> np.ndar
     Reference: frequency_decompose.py:17-26 (geometry), :38-48 and :80-87
     (band boundaries).
     """
-    ys = np.arange(h, dtype=np.float64)[:, None]
-    xs = np.arange(w, dtype=np.float64)[None, :]
+    # float32 throughout: the reference computes dist/radius in torch fp32
+    # (frequency_decompose.py:17-26), and pixels sitting exactly on a band
+    # boundary flip bands under fp64 (1-ulp differences at exact radii)
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    xs = np.arange(w, dtype=np.int64)[None, :]
     cx, cy = int(w / 2), int(h / 2)
-    dist = np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
-    max_radius = math.sqrt(cx * cx + cy * cy)
+    dist = np.sqrt(((xs - cx) ** 2 + (ys - cy) ** 2).astype(np.float32))
+    max_radius = np.sqrt(np.float32(cx * cx + cy * cy))
 
     masks = []
     last = np.zeros((h, w), dtype=bool)
     if variant == "open":
-        for i, sz in enumerate(np.linspace(1.0 / num_bands, 1.0, num_bands)):
-            radius = max_radius * sz
+        edges = np.linspace(1.0 / num_bands, 1.0, num_bands).astype(np.float32)
+        for i, sz in enumerate(edges):
+            radius = np.float32(max_radius * sz)
             if i == num_bands - 1:
                 cur = dist <= radius
             else:
@@ -68,8 +72,9 @@ def ring_masks(h: int, w: int, num_bands: int, variant: str = "open") -> np.ndar
             masks.append(cur ^ last)
             last = cur
     elif variant == "dc":
-        for sz in np.linspace(0.0, 1.0, num_bands + 1):
-            cur = dist <= max_radius * sz
+        edges = np.linspace(0.0, 1.0, num_bands + 1).astype(np.float32)
+        for sz in edges:
+            cur = dist <= np.float32(max_radius * sz)
             masks.append(cur ^ last)
             last = cur
     else:

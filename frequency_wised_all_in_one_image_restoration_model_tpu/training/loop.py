@@ -27,12 +27,17 @@ from .state import TrainState, create_train_state, lr_for_epoch, with_learning_r
 from .steps import array_batch, jit_train_steps
 
 
-def build_train_loader(cfg: Config, seed: int = 0):
+def build_train_loader(cfg: Config, seed: int = 0, prefetch: bool = False):
     if cfg.synthetic_data:
         from ..data.synthetic import SyntheticTrainLoader
-        return SyntheticTrainLoader(cfg, seed=seed)
-    from ..data.datasets import FileTrainLoader
-    return FileTrainLoader(cfg, seed=seed)
+        loader = SyntheticTrainLoader(cfg, seed=seed)
+    else:
+        from ..data.datasets import FileTrainLoader
+        loader = FileTrainLoader(cfg, seed=seed)
+    if prefetch:
+        from ..data.prefetch import Prefetcher
+        loader = Prefetcher(loader)
+    return loader
 
 
 def eval_variables(state: TrainState):
@@ -48,7 +53,7 @@ def run_training(cfg: Config, startpoint: int = 0,
     """Full training run. Returns the final state."""
     logs = RunLogs(cfg)
     bundle = build_models(cfg)
-    loader = build_train_loader(cfg, seed=cfg.seed)
+    loader = build_train_loader(cfg, seed=cfg.seed, prefetch=True)
 
     rng = jax.random.PRNGKey(cfg.seed)
     first = loader.next_batch()
