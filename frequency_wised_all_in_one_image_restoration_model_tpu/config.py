@@ -117,6 +117,9 @@ class Config:
     mesh_data: int = 1               # device-mesh size along the batch/data axis
     mesh_task: int = 1               # device-mesh size along the task axis
     steps_per_epoch: Optional[int] = None  # override 400*T/batch (reference dataset_utils.py:144)
+    ckpt_every: int = 0              # periodic full-state checkpoints (0 = final epoch only)
+    dgrn_groups: int = 5             # DGRN depth (reference decoder_DGRN.py:117-118)
+    dgrn_blocks: int = 5
 
     # ---- derived (reference option.py:76-103) ----
     batch_size: int = dataclasses.field(default=4)
@@ -211,6 +214,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_task", type=int, default=1)
     p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--ckpt_every", type=int, default=0)
+    p.add_argument("--dgrn_groups", type=int, default=5)
+    p.add_argument("--dgrn_blocks", type=int, default=5)
     return p
 
 
@@ -277,6 +283,9 @@ def finalize(ns: argparse.Namespace) -> Config:
         mesh_data=ns.mesh_data,
         mesh_task=ns.mesh_task,
         steps_per_epoch=ns.steps_per_epoch,
+        ckpt_every=ns.ckpt_every,
+        dgrn_groups=ns.dgrn_groups,
+        dgrn_blocks=ns.dgrn_blocks,
         batch_size=batch_size,
         ckpt_path=output_path + "ckpt/",  # option.py:78
     )

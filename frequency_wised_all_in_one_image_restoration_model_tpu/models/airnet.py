@@ -75,7 +75,8 @@ def build_models(cfg: Config, eval_mode: bool = False) -> ModelBundle:
         # DGRN; n_feats per reference decoder_DGRN.py:120-124
         n_feats = (cfg.encoder_dim // 4 if cfg.encoder_type == "ResNet"
                    else cfg.encoder_dim)
-        decoder = DGRN(n_feats=n_feats, dtype=dtype)
+        decoder = DGRN(n_feats=n_feats, n_groups=cfg.dgrn_groups,
+                       n_blocks=cfg.dgrn_blocks, dtype=dtype)
     elif cfg.decoder_type == "Uformer":
         from .decoder_uformer import UformerDecoder
         decoder = UformerDecoder(cfg=cfg, img_size=cfg.patch_size, dtype=dtype)

@@ -51,3 +51,37 @@ def latest_epoch(ckpt_path: str) -> Optional[int]:
             except ValueError:
                 pass
     return max(epochs) if epochs else None
+
+
+class RetentionPolicy:
+    """Keep the last N periodic checkpoints plus the best-PSNR one
+    (SURVEY.md §5.4 plan; the reference keeps only the final epoch)."""
+
+    def __init__(self, ckpt_path: str, every: int = 0, keep: int = 2):
+        self.ckpt_path = ckpt_path
+        self.every = every
+        self.keep = keep
+        self.best_psnr = -float("inf")
+        self.saved: list[int] = []
+
+    def maybe_save(self, epoch: int, state: TrainState,
+                   mean_psnr: Optional[float] = None) -> Optional[str]:
+        import shutil
+
+        path = None
+        if self.every and (epoch + 1) % self.every == 0:
+            path = save(self.ckpt_path, epoch + 1, state)
+            self.saved.append(epoch + 1)
+            while len(self.saved) > self.keep:
+                old = self.saved.pop(0)
+                shutil.rmtree(_ckpt_dir(self.ckpt_path, old),
+                              ignore_errors=True)
+        if mean_psnr is not None and mean_psnr > self.best_psnr:
+            self.best_psnr = mean_psnr
+            best = os.path.join(os.path.abspath(self.ckpt_path), "best")
+            shutil.rmtree(best, ignore_errors=True)
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(best, jax.tree_util.tree_map(np.asarray, state),
+                       force=True)
+            path = best
+        return path

@@ -69,6 +69,10 @@ def run_training(cfg: Config, startpoint: int = 0,
         getattr(loader, "total_pairs", lambda: steps_per_epoch * len(cfg.de_type))()))
     print("Start training...")
 
+    from ..utils.profiling import StepMeter
+    meter = StepMeter(batch=cfg.batch_size, patch=cfg.patch_size, every=100)
+    retention = ckpt_lib.RetentionPolicy(cfg.ckpt_path, every=cfg.ckpt_every)
+
     eval_fn = None
     for epoch in range(cfg.epochs):
         if epoch >= startpoint:
@@ -77,6 +81,10 @@ def run_training(cfg: Config, startpoint: int = 0,
             m = {}
             for _ in range(steps_per_epoch):
                 state, m = step_fn(state, array_batch(loader.next_batch()))
+                stats = meter.step()
+                if stats:
+                    print("  throughput: %.2f steps/s, %.1f samples/s" % (
+                        stats["steps_per_sec"], stats["samples_per_sec"]))
 
             if epoch < cfg.epochs_encoder:
                 logs.log_epoch_encoder(epoch, float(m["contrast_loss"]))
@@ -89,16 +97,22 @@ def run_training(cfg: Config, startpoint: int = 0,
             if epoch + 1 == cfg.epochs:
                 ckpt_lib.save(cfg.ckpt_path, epoch + 1, state)
 
+            mean_psnr = None
             if epoch >= cfg.epochs_encoder:
                 logs.log_results_header(epoch + 1)
                 enc_vars, dec_vars = eval_variables(state)
                 if eval_fn is None:
                     eval_fn = eval_runner.make_eval_fn(bundle)
+                psnrs = []
                 for task in cfg.test_de_type:
                     result = eval_runner.test_by_task(
                         cfg, bundle, enc_vars, dec_vars, task,
                         epochs=epoch + 1, eval_fn=eval_fn)
                     logs.log_result(task, result)
+                    psnrs.append(float(result.split(": ")[1].split("/")[0]))
+                mean_psnr = sum(psnrs) / len(psnrs) if psnrs else None
+
+            retention.maybe_save(epoch, state, mean_psnr)
 
     logs.close()
     return state
