@@ -174,6 +174,8 @@ class LeWinBlock(nn.Module):
             y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
 
         hidden = int(self.dim * self.mlp_ratio)
+        # 'fastleff' (reference leff.py:8-41, a torch_dwconv CUDA path) is
+        # the same computation here — XLA's depthwise conv IS the fast path
         if self.token_mlp in ("ffn", "mlp"):
             y = Mlp(hidden, dtype=self.dtype, name="mlp")(y)
         elif "deform_conv" in self.injection:
