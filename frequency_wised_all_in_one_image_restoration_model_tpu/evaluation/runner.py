@@ -52,10 +52,16 @@ def _psnr_ssim_single(restored, clean):
 def test_by_task(cfg: Config, bundle: ModelBundle, enc_vars, dec_vars,
                  task: str, epochs: int,
                  dataset: Optional[Iterable] = None,
-                 eval_fn: Optional[Callable] = None) -> str:
+                 eval_fn: Optional[Callable] = None,
+                 pool_tiles: int = 4) -> str:
     """Evaluate one task; returns the reference's result line
     (test.py:80-84). ``dataset`` yields ``(name, degraded, clean)`` float01
-    HWC numpy arrays."""
+    HWC numpy arrays.
+
+    Throughput note: the reference runs one tiled mega-batch per image
+    (test.py:51-59); here tile batches from up to ``pool_tiles`` images are
+    pooled into one forward (tiles are independent), amortizing dispatch.
+    """
     if dataset is None:
         dataset = build_test_dataset(cfg, task)
     if eval_fn is None:
@@ -73,15 +79,37 @@ def test_by_task(cfg: Config, bundle: ModelBundle, enc_vars, dec_vars,
     patch = cfg.crop_test_imgs_size
     assert patch % 8 == 0, "patch size should be a multiple of window_size"  # test.py:44
 
+    def flush(group):
+        if not group:
+            return
+        tiles = jnp.concatenate([jnp.asarray(t) for _, t, _, _, _ in group])
+        restored = eval_fn(enc_vars, dec_vars, tiles)
+        off = 0
+        for name, t, offs, n, clean in group:
+            r = tiling.stitch_tiles(restored[off:off + t.shape[0]],
+                                    jnp.asarray(offs), jnp.asarray(n),
+                                    clean.shape[0], clean.shape[1])
+            off += t.shape[0]
+            p, s = _psnr_ssim_single(r, jnp.asarray(clean))
+            psnr_meter.update(float(p), 1)
+            ssim_meter.update(float(s), 1)
+            if save_dir is not None:
+                from ..utils.image_io import save_image_float01
+                save_image_float01(np.asarray(r),
+                                   os.path.join(save_dir, name + ".png"))
+
+    group = []
+    group_shape = None
     for name, degraded, clean in dataset:
-        restored = restore_image(eval_fn, enc_vars, dec_vars, degraded, patch)
-        p, s = _psnr_ssim_single(restored, jnp.asarray(clean))
-        psnr_meter.update(float(p), 1)
-        ssim_meter.update(float(s), 1)
-        if save_dir is not None:
-            from ..utils.image_io import save_image_float01
-            save_image_float01(np.asarray(restored),
-                               os.path.join(save_dir, name + ".png"))
+        tiles, offs, n = tiling.extract_tiles(degraded, patch)
+        # pool only identically-shaped tile batches (keeps one compiled
+        # program per group size; mixed-size datasets flush per image)
+        if group and (len(group) >= pool_tiles or group_shape != tiles.shape):
+            flush(group)
+            group = []
+        group_shape = tiles.shape
+        group.append((name, tiles, offs, n, clean))
+    flush(group)
 
     return "PSNR/SSIM: %.2f/%.4f" % (psnr_meter.avg, ssim_meter.avg)
 

@@ -70,3 +70,27 @@ def test_test_by_task_synthetic(tmp_path):
     nums = result.split(": ")[1].split("/")
     assert len(nums[0].split(".")[1]) == 2
     assert len(nums[1].split(".")[1]) == 4
+
+
+def test_test_by_task_saves_images(tmp_path):
+    import jax
+    import os
+    cfg = config.make_config(
+        encoder_type="ResNet", decoder_type="ResNet",
+        de_type=["denoising_0", "deraining"], patch_size=32,
+        crop_test_imgs_size=32, encoder_dim=32, synthetic_data=True,
+        save_imgs=True, output_path=str(tmp_path) + "/")
+    bundle = ModelBundle(
+        cfg=cfg, encoder=ResNetEncoder(dim=32),
+        decoder=DGRN(n_feats=8, n_groups=1, n_blocks=1), num_losses=1)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training.state import create_train_state
+    from frequency_wised_all_in_one_image_restoration_model_tpu.data.synthetic import SyntheticTrainLoader
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training.loop import eval_variables
+    loader = SyntheticTrainLoader(cfg, seed=0)
+    st = create_train_state(cfg, bundle, jax.random.PRNGKey(0), loader.next_batch())
+    enc_vars, dec_vars = eval_variables(st)
+    runner.test_by_task(cfg, bundle, enc_vars, dec_vars, "deraining", epochs=7)
+    img_dir = tmp_path / "epoch_7_imgs" / "test_deraining"
+    pngs = list(img_dir.glob("*.png"))
+    assert len(pngs) == 4  # synthetic test set size (reference save path,
+    # test.py:20-27,77-78)
