@@ -69,25 +69,31 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
 
 
 def _choose_pg(w: int, n: int, h: int, d: int, nk: int, nW: int,
-               has_mask: bool):
+               has_mask: bool, itemsize: int):
     """Pick (P windows per MXU tile, G tile-groups per program) so that the
     per-program block is big enough to amortize grid-step overhead while
-    staying well under VMEM."""
+    staying well under VMEM (qkv/out blocks are double-buffered; bias and
+    the packed mask block are VMEM-resident too; logits live on the kernel
+    stack)."""
     P = _pack_factor(n)
     if w % P != 0 or (has_mask and nW % P != 0):
         P = 1
     G = 1
-    # grow G while divisibility holds and the VMEM-resident blocks stay small
-    # (qkv/out are double-buffered; the packed mask block scales with G*n^2)
+
     def block_bytes(g):
-        return g * P * h * max(n, nk) * d * 2
+        return g * P * h * max(n, nk) * d * itemsize
 
     def mask_bytes(g):
         return g * (P * n) * (P * nk) * 4 if has_mask else 0
 
+    # conservative caps, empirically validated on v5e: the g/h loops are
+    # unrolled, so Mosaic stack-allocates logits/probs temporaries PER
+    # ITERATION — large G blows the 16 MB scoped-VMEM budget even when the
+    # io blocks are small
     while (G < 32 and w % (P * G * 2) == 0
            and (not has_mask or nW % (P * G * 2) == 0 or (P * G * 2) % nW == 0)
-           and block_bytes(G * 2) <= (1 << 19)
+           and block_bytes(G * 2) <= (1 << 18)
+           and G * 2 * h * (P * n) * (P * nk) * 4 <= (4 << 20)
            and mask_bytes(G * 2) <= (1 << 18)):
         G *= 2
     return P, G
@@ -120,15 +126,17 @@ def _forward(q, k, v, bias, mask, scale: float, nW: int, interpret: bool):
     w, h, n, d = q.shape
     nk = k.shape[2]
     has_mask = mask is not None
-    P, G = _choose_pg(w, n, h, d, nk, nW, has_mask)
+    P, G = _choose_pg(w, n, h, d, nk, nW, has_mask, q.dtype.itemsize)
     PG = P * G
     grid = (w // PG,)
 
     bias_packed = _pack_bias(bias, P)
 
     if not has_mask:
-        mask_arr = jnp.zeros((G, P * n, P * nk), jnp.float32)
-        mask_spec = pl.BlockSpec((G, P * n, P * nk), lambda i: (0, 0, 0),
+        # unread placeholder (the kernel never touches mask_ref without a
+        # mask); keep it one tile so it doesn't scale VMEM with G
+        mask_arr = jnp.zeros((1, P * n, P * nk), jnp.float32)
+        mask_spec = pl.BlockSpec((1, P * n, P * nk), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         mask_arr = _pack_mask(mask, P)  # [nW/P, P*n, P*nk]
