@@ -32,7 +32,7 @@ from flax import linen as nn
 
 from ..ops import frequency, windows
 from ..ops.deform_conv import modulated_deform_conv2d
-from .layers import DropPath, Mlp, leaky_relu, to_image, to_tokens, trunc_normal_init
+from .layers import leaky_relu, to_image, to_tokens, trunc_normal_init
 
 # ---------------------------------------------------------------------------
 # Projections

@@ -94,3 +94,26 @@ def test_test_by_task_saves_images(tmp_path):
     pngs = list(img_dir.glob("*.png"))
     assert len(pngs) == 4  # synthetic test set size (reference save path,
     # test.py:20-27,77-78)
+
+
+def test_restore_image_single(rng):
+    """The one-image restoration helper (tile -> forward -> stitch)."""
+    import jax
+    cfg = config.make_config(
+        encoder_type="ResNet", decoder_type="ResNet",
+        de_type=["denoising_0", "deraining"], patch_size=32,
+        crop_test_imgs_size=32, encoder_dim=32, synthetic_data=True)
+    bundle = ModelBundle(
+        cfg=cfg, encoder=ResNetEncoder(dim=32),
+        decoder=DGRN(n_feats=8, n_groups=1, n_blocks=1), num_losses=1)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training.state import create_train_state
+    from frequency_wised_all_in_one_image_restoration_model_tpu.data.synthetic import SyntheticTrainLoader
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training.loop import eval_variables
+    loader = SyntheticTrainLoader(cfg, seed=0)
+    st = create_train_state(cfg, bundle, jax.random.PRNGKey(0), loader.next_batch())
+    enc_vars, dec_vars = eval_variables(st)
+    img = rng.uniform(0, 1, (48, 80, 3)).astype(np.float32)
+    out = runner.restore_image(runner.make_eval_fn(bundle), enc_vars,
+                               dec_vars, img, 32)
+    assert out.shape == (48, 80, 3)
+    assert np.isfinite(np.asarray(out)).all()
