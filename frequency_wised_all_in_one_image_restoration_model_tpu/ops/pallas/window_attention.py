@@ -17,8 +17,10 @@ runs at ~2.5 TFLOP/s (~1% MXU). This kernel:
   (encoder_Uformer.py:630) — only the *packing* mask uses -1e9.
 
 The public entry :func:`fused_window_attention` carries a custom VJP whose
-backward recomputes attention with plain XLA ops (correct, unfused; a fused
-backward is a later optimization), so the kernel is usable in training.
+backward is ALSO fused (:func:`_backward`): probs are recomputed in VMEM
+with the same window packing, and dv/dp/dlogits/dq/dk never touch HBM;
+dbias accumulates across sequential grid steps into a revisited block.
+Shapes the packer cannot tile fall back to a plain-XLA backward.
 """
 
 from __future__ import annotations
@@ -176,6 +178,134 @@ def _forward(q, k, v, bias, mask, scale: float, nW: int, interpret: bool):
     )(q, k, v, bias_packed, mask_arr)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                scale: float, P: int, G: int, nW: int, has_mask: bool):
+    """Fused backward: recompute probs in VMEM, then the five products
+    dv = p^T g, dp = g v^T, dl = p*(dp - rowsum(dp*p)), dq = dl k, dk =
+    dl^T q — zero HBM traffic for probs/dp/dl. dbias accumulates across
+    sequential grid steps into a revisited block (constant index map)."""
+    _, h, n, d = q_ref.shape
+    nk = k_ref.shape[2]
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for hh in range(h):
+        bias_h = bias_ref[hh]
+        db = jnp.zeros((P * n, P * nk), jnp.float32)
+        for g in range(G):
+            q = q_ref[g * P:(g + 1) * P, hh].reshape(P * n, d)
+            k = k_ref[g * P:(g + 1) * P, hh].reshape(P * nk, d)
+            v = v_ref[g * P:(g + 1) * P, hh].reshape(P * nk, d)
+            gg = g_ref[g * P:(g + 1) * P, hh].reshape(P * n, d)
+
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = logits + bias_h
+            if has_mask:
+                logits = logits + mask_ref[g]
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+            dv = jax.lax.dot_general(  # p^T g : [P*nk, d]
+                p, gg.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(  # g v^T : [P*n, P*nk]
+                gg.astype(jnp.float32), v.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq = jax.lax.dot_general(  # dl k : [P*n, d]
+                dl, k.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(  # dl^T q : [P*nk, d]
+                dl, q.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+            dq_ref[g * P:(g + 1) * P, hh] = dq.reshape(P, n, d).astype(
+                dq_ref.dtype)
+            dk_ref[g * P:(g + 1) * P, hh] = dk.reshape(P, nk, d).astype(
+                dk_ref.dtype)
+            dv_ref[g * P:(g + 1) * P, hh] = dv.reshape(P, nk, d).astype(
+                dv_ref.dtype)
+            db = db + dl
+        dbias_ref[hh] += db
+
+
+def _backward(q, k, v, bias, mask, g, scale: float, nW: int,
+              interpret: bool):
+    w, h, n, d = q.shape
+    nk = k.shape[2]
+    has_mask = mask is not None
+    # the backward holds ~3 packed-logit temporaries per unrolled iter where
+    # the forward holds ~2; reuse the forward's block picker with its caps
+    # and halve G once more for headroom
+    P, G = _choose_pg(w, n, h, d, nk, nW, has_mask, q.dtype.itemsize)
+    if G > 1:
+        G //= 2
+    if P == 1 and (w % (P * G) != 0):
+        G = 1
+    PG = P * G
+    if w % PG != 0:
+        return None  # caller falls back to the XLA backward
+    grid = (w // PG,)
+
+    bias_packed = _pack_bias(bias, P)
+    if not has_mask:
+        mask_arr = jnp.zeros((1, P * n, P * nk), jnp.float32)
+        mask_spec = pl.BlockSpec((1, P * n, P * nk), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_arr = _pack_mask(mask, P)
+        if PG <= nW:
+            if (nW // P) % G != 0:
+                return None
+            nblocks = (nW // P) // G
+            mask_spec = pl.BlockSpec((G, P * n, P * nk),
+                                     lambda i: (i % nblocks, 0, 0),
+                                     memory_space=pltpu.VMEM)
+        else:
+            reps = PG // nW
+            mask_arr = jnp.tile(mask_arr, (reps, 1, 1))
+            mask_spec = pl.BlockSpec((G, P * n, P * nk),
+                                     lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_bwd_kernel, scale=scale, P=P, G=G, nW=nW,
+                               has_mask=has_mask)
+    blk = lambda nn_: pl.BlockSpec((PG, h, nn_, d), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias_packed = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk(n), blk(nk), blk(nk),
+                  pl.BlockSpec((h, P * n, P * nk), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  mask_spec, blk(n)],
+        out_specs=(blk(n), blk(nk), blk(nk),
+                   pl.BlockSpec((h, P * n, P * nk), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((w, h, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((w, h, nk, d), k.dtype),
+                   jax.ShapeDtypeStruct((w, h, nk, d), v.dtype),
+                   jax.ShapeDtypeStruct((h, P * n, P * nk), jnp.float32)),
+        interpret=interpret,
+    )(q, k, v, bias_packed, mask_arr, g)
+
+    # un-pack dbias: sum the P diagonal blocks back to [h, n, nk]
+    dbias = sum(dbias_packed[:, p * n:(p + 1) * n, p * nk:(p + 1) * nk]
+                for p in range(P))
+    return dq, dk, dv, dbias
+
+
 def _xla_reference(q, k, v, bias, mask, scale, nW):
     """Plain-XLA window attention (for the custom-vjp backward and tests)."""
     w, h, n, d = q.shape
@@ -216,6 +346,12 @@ def _fwd(q, k, v, bias, mask, scale, nW, interpret):
 
 def _bwd(scale, nW, interpret, res, g):
     q, k, v, bias, mask = res
+    if mask is None or q.shape[0] % nW == 0:
+        fused = _backward(q, k, v, bias, mask, g, scale, nW, interpret)
+        if fused is not None:
+            dq, dk, dv, dbias = fused
+            dmask = None if mask is None else jnp.zeros_like(mask)
+            return (dq, dk, dv, dbias.astype(bias.dtype), dmask)
     _, probs = _xla_reference(q, k, v, bias, mask, scale, nW)
     g32 = g.astype(jnp.float32)
     p32 = probs

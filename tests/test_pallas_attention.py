@@ -94,3 +94,65 @@ def test_bf16_inputs(rng):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_backward_multi_program_dbias(rng):
+    # w large enough that the grid has several programs: dbias must
+    # accumulate correctly across sequential grid steps
+    q, k, v, bias, _ = _setup(rng, w=128, with_mask=False)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(
+            fused_window_attention(q, k, v, bias, None, scale, 1, True) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        out, _ = _xla_reference(q, k, v, bias, None, scale, 1)
+        return jnp.sum(out ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_backward_bf16(rng):
+    q, k, v, bias, mask = _setup(rng, w=8, nw=4)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    scale = q.shape[-1] ** -0.5
+
+    def loss_fused(q, k, v, bias):
+        out = fused_window_attention(q, k, v, bias, mask, scale, 4, True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        out, _ = _xla_reference(q, k, v, bias, mask, scale, 4)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(qb, kb, vb, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qb, kb, vb, bias)
+    assert g_fused[0].dtype == jnp.bfloat16
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_fused_backward_rect_kv(rng):
+    q, k, v, bias, _ = _setup(rng, n=16, nk=32, with_mask=False)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(
+            fused_window_attention(q, k, v, bias, None, scale, 1, True) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        out, _ = _xla_reference(q, k, v, bias, None, scale, 1)
+        return jnp.sum(out ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
