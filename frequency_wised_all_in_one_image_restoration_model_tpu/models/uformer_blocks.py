@@ -373,6 +373,40 @@ class FrequencyWindowAttention(nn.Module):
 
         q, k, v = LinearProjection(h, hd, dtype=self.dtype, name="qkv")(x, attn_kv)
 
+        tables = self.param(
+            "relative_position_bias_tables", trunc_normal_init,
+            (L * L, (2 * self.win_size - 1) ** 2, h), jnp.float32)
+        idx = jnp.asarray(windows.relative_position_index(self.win_size,
+                                                          self.win_size))
+        per_pair = tables[:, idx.reshape(-1), :].reshape(L * L, n, n, h)
+        per_pair = per_pair.transpose(0, 3, 1, 2)          # [L*L, h, n, n]
+
+        need_probs = self.is_mutable_collection("intermediates")
+        nW = 1 if mask is None else mask.shape[0]
+
+        if self.kind == "intra" and not need_probs and not self.need_kv:
+            # ---- band-folded fast path ------------------------------------
+            # The intra mask puts -100 on every cross-band pair, which
+            # softmax turns into e^-100 ~ 3.7e-44 (an fp32 denormal): the
+            # (L n)^2 grouped attention decomposes into L independent n^2
+            # attentions to < 1e-40 relative error — 1/L the logits/AV
+            # FLOPs, and 64-token windows pack 2-per-MXU-tile in the fused
+            # kernel (the 192-token group cannot). Fold L into the HEAD
+            # axis; each band-head gets its diagonal bias table.
+            bnw = b_ // L
+            fold = lambda t: t.reshape(L, bnw, h, n, hd) \
+                              .transpose(1, 0, 2, 3, 4) \
+                              .reshape(bnw, L * h, n, hd)
+            diag = per_pair[np.arange(L) * (L + 1)]        # [L, h, n, n]
+            bias = diag.reshape(L * h, n, n)
+            out, _ = attention_core(fold(q), fold(k), fold(v), bias, mask,
+                                    nW, self.dtype, need_probs=False)
+            out = out.reshape(bnw, n, L, h * hd).transpose(2, 0, 1, 3) \
+                     .reshape(b_, n, c)
+            out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
+                           dtype=self.dtype, name="proj")(out)
+            return out, None
+
         # (l bnw) h tok d -> bnw h (l tok) d   (encoder_Uformer.py:259-261)
         def regroup(t):
             return t.reshape(L, b_ // L, h, n, hd).transpose(1, 2, 0, 3, 4) \
@@ -381,13 +415,6 @@ class FrequencyWindowAttention(nn.Module):
         q, k, v = regroup(q), regroup(k), regroup(v)
 
         # L x L bias tables assembled into one [h, L*n, L*n] block bias
-        tables = self.param(
-            "relative_position_bias_tables", trunc_normal_init,
-            (L * L, (2 * self.win_size - 1) ** 2, h), jnp.float32)
-        idx = jnp.asarray(windows.relative_position_index(self.win_size,
-                                                          self.win_size))
-        per_pair = tables[:, idx.reshape(-1), :].reshape(L * L, n, n, h)
-        per_pair = per_pair.transpose(0, 3, 1, 2)          # [L*L, h, n, n]
         bias = per_pair.reshape(L, L, h, n, n).transpose(2, 0, 3, 1, 4) \
                        .reshape(h, L * n, L * n)
 
@@ -395,14 +422,12 @@ class FrequencyWindowAttention(nn.Module):
         bias = bias + band[None]
 
         full_mask = None
-        nW = 1
         if mask is not None:  # [nW, n, n] -> [nW, L*n, L*n]
-            nW = mask.shape[0]
             full_mask = jnp.tile(mask, (1, L, L))
 
         out, attn = attention_core(
             q, k, v, bias, full_mask, nW, self.dtype,
-            need_probs=self.is_mutable_collection("intermediates"))
+            need_probs=need_probs)
         if attn is not None:
             self.sow("intermediates", "attn_map", attn)
         # back to (l bnw) tok c

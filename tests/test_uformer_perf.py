@@ -46,3 +46,26 @@ def test_window_attention_all_dc_still_runs():
     out, kv, lambs = attn.apply(variables, x, all_inter=all_inter)
     assert out.shape == (B * nW, n, c)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_intra_band_fold_matches_grouped(rng):
+    """FrequencyWindowAttention 'intra' fast path (L folded into heads,
+    band-diagonal bias only) vs the reference-shaped grouped computation
+    (forced by making 'intermediates' mutable)."""
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.uformer_blocks import (
+        FrequencyWindowAttention)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops import windows
+
+    L, B, nW, n, c, h = 3, 2, 4, 16, 12, 2
+    win = 4
+    attn = FrequencyWindowAttention(dim=c, win_size=win, num_heads=h, L=L,
+                                    kind="intra")
+    x = jnp.asarray(rng.standard_normal((L * B * nW, n, c)).astype(np.float32))
+    mask = jnp.asarray(windows.shift_attn_mask(8, 8, win, 2))
+    variables = attn.init(jax.random.PRNGKey(0), x, mask=mask)
+
+    fast, _ = attn.apply(variables, x, mask=mask)
+    (slow, _), _ = attn.apply(variables, x, mask=mask,
+                              mutable=["intermediates"])
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=2e-5, atol=2e-5)
