@@ -3,17 +3,20 @@
 SURVEY.md §5.4 deliverable: a documented weight-name mapping so reference
 checkpoints can be loaded for parity validation (and users can migrate).
 Covered: the ResNet degradation encoder (encoder_ResNet.py), the SFT layer
-(decoder_DGRN.py:35-57), and the ViT encoder (encoder_ViT.py). The Uformer
-pair's mapping follows the same conventions (documented below) but the
-reference modules cannot even be instantiated in this environment (they
-import ``timm`` at module scope), so its transplant is exercised only by
-name-shape audits.
+(decoder_DGRN.py:35-57), the ViT encoder (encoder_ViT.py), and the Uformer
+encoder/decoder pair (encoder_Uformer.py:746-986,
+decoder_Uformer.py:835-1171) — instantiate the reference modules with
+``utils.timm_shim.install()`` first (they import timm at module scope).
 
 Tensor conventions:
-  torch Conv2d weight  [out, in, kh, kw]  ->  flax kernel [kh, kw, in, out]
-  torch Linear weight  [out, in]          ->  flax kernel [in, out]
-  torch BatchNorm2d    weight/bias        ->  flax scale/bias
-                       running_mean/var   ->  batch_stats mean/var
+  torch Conv2d weight        [out, in, kh, kw] -> flax kernel [kh, kw, in, out]
+  torch ConvTranspose2d      [in, out, kh, kw] -> flax ConvTranspose kernel
+                             [kh, kw, in, out] with the taps SPATIALLY
+                             FLIPPED (torch convT correlates the un-flipped
+                             kernel; lax.conv_transpose convolves)
+  torch Linear weight        [out, in]         -> flax kernel [in, out]
+  torch BatchNorm2d          weight/bias       -> flax scale/bias
+                             running_mean/var  -> batch_stats mean/var
 """
 
 from __future__ import annotations
@@ -79,6 +82,189 @@ def sft_layer_from_torch(sd: Mapping, prefix: str = "") -> Dict[str, Any]:
         "conv_beta_0": {"kernel": g("conv_beta.0.weight")},
         "conv_beta_1": {"kernel": g("conv_beta.2.weight")},
     }}
+
+
+def deconv_w(t) -> np.ndarray:
+    """torch ConvTranspose2d [in, out, kh, kw] -> flax [kh, kw, in, out],
+    spatially flipped (see module docstring)."""
+    a = np.asarray(t)[:, :, ::-1, ::-1]
+    return np.ascontiguousarray(a.transpose(2, 3, 0, 1))
+
+
+def _ln(sd: Mapping, p: str) -> Dict:
+    return {"scale": np.asarray(sd[p + ".weight"]),
+            "bias": np.asarray(sd[p + ".bias"])}
+
+
+def _linear(sd: Mapping, p: str) -> Dict:
+    out = {"kernel": linear_w(sd[p + ".weight"])}
+    if p + ".bias" in sd:
+        out["bias"] = np.asarray(sd[p + ".bias"])
+    return out
+
+
+def _conv(sd: Mapping, p: str) -> Dict:
+    out = {"kernel": conv_w(sd[p + ".weight"])}
+    if p + ".bias" in sd:
+        out["bias"] = np.asarray(sd[p + ".bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Uformer pair (encoder_Uformer.py:746-986, decoder_Uformer.py:835-1171)
+# ---------------------------------------------------------------------------
+
+
+def _leff(sd: Mapping, p: str) -> Dict:
+    """Reference LeFF (leff.py:71-117): linear1.0 / conv.0 (depthwise) /
+    linear2.0 -> our LeFF {linear1, dwconv, linear2}."""
+    return {"linear1": _linear(sd, p + ".linear1.0"),
+            "dwconv": _conv(sd, p + ".conv.0"),
+            "linear2": _linear(sd, p + ".linear2.0")}
+
+
+def _qkv(sd: Mapping, p: str) -> Dict:
+    return {"to_q": _linear(sd, p + ".to_q"),
+            "to_kv": _linear(sd, p + ".to_kv")}
+
+
+def _sepconv(sd: Mapping, p: str) -> Dict:
+    """Reference SepConv2d (encoder_Uformer.py:16-43): depthwise 3x3 +
+    pointwise 1x1; the torch depthwise weight [C,1,kh,kw] maps straight
+    through :func:`conv_w`."""
+    return {"depthwise": _conv(sd, p + ".depthwise"),
+            "pointwise": _conv(sd, p + ".pointwise")}
+
+
+def conv_projection_from_torch(sd: Mapping, prefix: str = "") -> Dict:
+    """Reference ConvProjection (encoder_Uformer.py:47-76) -> our
+    ConvProjection params (three SepConv2d branches)."""
+    p = prefix.rstrip(".")
+    dot = p + "." if p else ""
+    return {name: _sepconv(sd, dot + name)
+            for name in ("to_q", "to_k", "to_v")}
+
+
+def _attn_origin(sd: Mapping, p: str, num_bands=None) -> Dict:
+    """WindowAttention (encoder_Uformer.py:103-186 / the decoder flavor
+    decoder_Uformer.py:128-299 incl. the embed_lamb heads mlp_head.{i}/
+    mlp.{i} -> lamb_norm_{i}/lamb_head_{i}/lamb_mlp_{i}_{0,1})."""
+    out = {"qkv": _qkv(sd, p + ".qkv"),
+           "relative_position_bias_table":
+               np.asarray(sd[p + ".relative_position_bias_table"]),
+           "proj": _linear(sd, p + ".proj")}
+    for i in range(1, num_bands or 0):
+        out[f"lamb_norm_{i}"] = _ln(sd, f"{p}.mlp_head.{i}.0")
+        out[f"lamb_head_{i}"] = _linear(sd, f"{p}.mlp_head.{i}.1")
+        out[f"lamb_mlp_{i}_0"] = _linear(sd, f"{p}.mlp.{i}.0")
+        out[f"lamb_mlp_{i}_1"] = _linear(sd, f"{p}.mlp.{i}.2")
+    return out
+
+
+def _attn_freq(sd: Mapping, p: str, L: int) -> Dict:
+    """FrequencyWindowAttention (encoder_Uformer.py:190-313): the L*L
+    ParameterList entries stack into one [L*L, (2w-1)^2, h] table."""
+    tables = np.stack([
+        np.asarray(sd[f"{p}.relative_position_bias_table.{i}"])
+        for i in range(L * L)])
+    return {"qkv": _qkv(sd, p + ".qkv"),
+            "relative_position_bias_tables": tables,
+            "proj": _linear(sd, p + ".proj")}
+
+
+def _lewin_block(sd: Mapping, p: str, msa: str, L: int,
+                 num_bands=None, modulator: bool = False,
+                 self_modulator: bool = False) -> Dict:
+    if self_modulator:
+        # norm1/2 are SelfModulatedLayerNorms + degradation pre-norms
+        # (decoder_Uformer.py:560-567, 587-594)
+        sml = lambda q: {"mlp_gamma": _linear(sd, q + ".mlp_gamma"),
+                         "mlp_beta": _linear(sd, q + ".mlp_beta")}
+        out = {"norm1": sml(p + ".norm1"),
+               "norm1_deg_norm": _ln(sd, p + ".norm1_norm_degradation.0"),
+               "norm2": sml(p + ".norm2"),
+               "norm2_deg_norm": _ln(sd, p + ".norm2_norm_degradation.0"),
+               "mlp": _leff(sd, p + ".mlp")}
+    else:
+        out = {"norm1": _ln(sd, p + ".norm1"),
+               "norm2": _ln(sd, p + ".norm2"),
+               "mlp": _leff(sd, p + ".mlp")}
+    if msa == "freq":
+        out["attn_intra"] = _attn_freq(sd, p + ".attn_intra", L)
+        out["attn_inter"] = _attn_freq(sd, p + ".attn_inter", L)
+    else:
+        out["attn"] = _attn_origin(sd, p + ".attn", num_bands)
+    if modulator:
+        out["modulator"] = np.asarray(sd[p + ".modulator.weight"])
+    return out
+
+
+def _stage(sd: Mapping, p: str, depth: int, msa: str = "origin", L: int = 1,
+           num_bands=None, modulator: bool = False) -> Dict:
+    return {f"block{j}": _lewin_block(sd, f"{p}.blocks.{j}", msa, L,
+                                      num_bands, modulator)
+            for j in range(depth)}
+
+
+def uformer_encoder_from_torch(sd: Mapping, L: int,
+                               msa_type: str) -> Dict[str, Any]:
+    """Reference UformerEncoder state_dict -> our UformerEncoder variables.
+
+    Names: uformer.input_proj/encoderlayer_{i}/dowsample_{i}/conv (the
+    bottleneck) + per-band heads mlp_head.{i}/norm.{i}/mlp.{i}
+    (encoder_Uformer.py:926-957)."""
+    depths = (2, 2, 2, 2, 2)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["input_proj"] = {"proj": _conv(sd, "uformer.input_proj.proj.0")}
+    for i in range(4):
+        params[f"encoderlayer_{i}"] = _stage(
+            sd, f"uformer.encoderlayer_{i}", depths[i], msa_type, L)
+        params[f"dowsample_{i}"] = {
+            "conv": _conv(sd, f"uformer.dowsample_{i}.conv.0")}
+    params["bottleneck"] = _stage(sd, "uformer.conv", depths[4], msa_type, L)
+    for i in range(L):
+        params[f"mlp_head_{i}_norm"] = _ln(sd, f"mlp_head.{i}.0")
+        params[f"mlp_head_{i}_dense"] = _linear(sd, f"mlp_head.{i}.1")
+        bn, st = _bn(sd, f"norm.{i}.0")
+        params[f"norm_{i}"], stats[f"norm_{i}"] = bn, st
+        params[f"mlp_{i}_0"] = _linear(sd, f"mlp.{i}.0")
+        params[f"mlp_{i}_1"] = _linear(sd, f"mlp.{i}.2")
+    return {"params": params, "batch_stats": stats}
+
+
+def uformer_decoder_from_torch(sd: Mapping, num_bands=None,
+                               learnable_modulator: bool = False
+                               ) -> Dict[str, Any]:
+    """Reference UformerDecoder state_dict -> our UformerDecoder variables.
+
+    Names: input_proj/output_proj/encoderlayer_{i}/dowsample_{i}/
+    bottleneck_{0,1}/upsample_{s}/decoderlayer_{s}
+    (decoder_Uformer.py:888-1101). The ``residual`` method's Linears are NOT
+    in the reference state_dict (built in a plain list, decoder_Uformer.py:
+    883-885 — PARITY.md #4), so they cannot be transplanted."""
+    depths = (2, 2, 8, 8, 2, 8, 8, 2, 2)  # decoder_Uformer.py:837
+    params: Dict[str, Any] = {}
+    params["input_proj"] = {"proj": _conv(sd, "input_proj.proj.0")}
+    params["output_proj"] = {"proj": _conv(sd, "output_proj.proj.0")}
+    for i in range(4):
+        params[f"encoderlayer_{i}"] = _stage(
+            sd, f"encoderlayer_{i}", depths[i], num_bands=num_bands)
+        params[f"dowsample_{i}"] = {
+            "conv": _conv(sd, f"dowsample_{i}.conv.0")}
+    params["bottleneck_0"] = _stage(sd, "bottleneck_0", depths[4],
+                                    num_bands=num_bands)
+    params["bottleneck_1"] = _stage(sd, "bottleneck_1", depths[4],
+                                    num_bands=num_bands)
+    for s, di in [(3, 5), (2, 6), (1, 7), (0, 8)]:
+        dk = {"kernel": deconv_w(sd[f"upsample_{s}.deconv.0.weight"])}
+        if f"upsample_{s}.deconv.0.bias" in sd:
+            dk["bias"] = np.asarray(sd[f"upsample_{s}.deconv.0.bias"])
+        params[f"upsample_{s}"] = {"deconv": dk}
+        params[f"decoderlayer_{s}"] = _stage(
+            sd, f"decoderlayer_{s}", depths[di], num_bands=num_bands,
+            modulator=learnable_modulator)
+    return {"params": params}
 
 
 def vit_encoder_from_torch(sd: Mapping, depth: int = 12) -> Dict[str, Any]:
