@@ -116,6 +116,12 @@ class Config:
     synthetic_data: bool = False     # use a deterministic synthetic dataset (tests/bench)
     mesh_data: int = 1               # device-mesh size along the batch/data axis
     mesh_task: int = 1               # device-mesh size along the task axis
+    # multi-host SPMD (SURVEY.md §5.8): when coordinator_address is set,
+    # jax.distributed.initialize() is called before any device use and each
+    # host feeds its process-local slice of the global batch
+    coordinator_address: Optional[str] = None
+    num_processes: int = 1
+    process_id: int = 0
     steps_per_epoch: Optional[int] = None  # override 400*T/batch (reference dataset_utils.py:144)
     ckpt_every: int = 0              # periodic full-state checkpoints (0 = final epoch only)
     dgrn_groups: int = 5             # DGRN depth (reference decoder_DGRN.py:117-118)
@@ -213,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", action="store_true")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_task", type=int, default=1)
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
     p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--ckpt_every", type=int, default=0)
     p.add_argument("--dgrn_groups", type=int, default=5)
@@ -282,6 +291,9 @@ def finalize(ns: argparse.Namespace) -> Config:
         synthetic_data=ns.synthetic_data,
         mesh_data=ns.mesh_data,
         mesh_task=ns.mesh_task,
+        coordinator_address=ns.coordinator_address,
+        num_processes=ns.num_processes,
+        process_id=ns.process_id,
         steps_per_epoch=ns.steps_per_epoch,
         ckpt_every=ns.ckpt_every,
         dgrn_groups=ns.dgrn_groups,

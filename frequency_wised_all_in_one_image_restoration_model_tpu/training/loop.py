@@ -48,18 +48,55 @@ def eval_variables(state: TrainState):
     return enc_vars, dec_vars
 
 
+def concat_batches(batches):
+    """Concatenate loader batches along the batch axis (array fields) to
+    build the global batch for a ``mesh_data``-wide mesh; list fields (image
+    names) concatenate as lists."""
+    out = {}
+    for k, v in batches[0].items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1:
+            out[k] = np.concatenate([np.asarray(b[k]) for b in batches], 0)
+        elif isinstance(v, list):
+            out[k] = sum((b[k] for b in batches), [])
+        else:
+            out[k] = v
+    return out
+
+
 def run_training(cfg: Config, startpoint: int = 0,
                  progress: Optional[Callable[[int, Dict], None]] = None) -> TrainState:
-    """Full training run. Returns the final state."""
-    logs = RunLogs(cfg)
+    """Full training run. Returns the final state.
+
+    Multi-device/multi-host: with ``mesh_data * mesh_task > 1`` the step
+    runs SPMD over a global ``('data','task')`` mesh — state replicated,
+    batch sharded; with ``--coordinator_address`` set each process first
+    joins the jax.distributed cluster and feeds its process-local slice of
+    the global batch (SURVEY.md §5.8; parallel/distributed.py).
+    """
+    from ..parallel import distributed as dist_lib
+    dist_lib.initialize(cfg)
+    is_main = jax.process_index() == 0
+
+    logs = RunLogs(cfg) if is_main else None
     bundle = build_models(cfg)
     loader = build_train_loader(cfg, seed=cfg.seed, prefetch=True)
 
+    n_mesh = cfg.mesh_data * cfg.mesh_task
+    mesh = mesh_lib.make_mesh(cfg.mesh_data, cfg.mesh_task) if n_mesh > 1 else None
+
+    def next_global_batch():
+        if mesh is None or cfg.mesh_data == 1:
+            return loader.next_batch()
+        return concat_batches([loader.next_batch()
+                               for _ in range(cfg.mesh_data)])
+
     rng = jax.random.PRNGKey(cfg.seed)
-    first = loader.next_batch()
+    first = next_global_batch()
     state = create_train_state(cfg, bundle, rng, first)
     if startpoint > 0:
         state = ckpt_lib.restore(cfg.ckpt_path, startpoint, state)
+    if mesh is not None:
+        state = mesh_lib.replicate_tree(state, mesh)
 
     enc_step, joint_step = jit_train_steps(cfg, bundle)
 
@@ -73,6 +110,21 @@ def run_training(cfg: Config, startpoint: int = 0,
     meter = StepMeter(batch=cfg.batch_size, patch=cfg.patch_size, every=100)
     retention = ckpt_lib.RetentionPolicy(cfg.ckpt_path, every=cfg.ckpt_every)
 
+    multihost = jax.process_count() > 1
+
+    def shard(b):
+        if mesh is None:
+            return b
+        from ..parallel import distributed as dist
+        return dist.shard_global_batch(b, mesh)
+
+    def local_vars(tree):
+        # eval runs as a plain local jit; under multi-host the replicated
+        # global arrays must be pulled to host first (the local replica)
+        if not multihost:
+            return tree
+        return jax.tree_util.tree_map(np.asarray, tree)
+
     eval_fn = None
     for epoch in range(cfg.epochs):
         if epoch >= startpoint:
@@ -80,27 +132,30 @@ def run_training(cfg: Config, startpoint: int = 0,
             step_fn = enc_step if epoch < cfg.epochs_encoder else joint_step
             m = {}
             for _ in range(steps_per_epoch):
-                state, m = step_fn(state, array_batch(loader.next_batch()))
+                state, m = step_fn(state, shard(array_batch(next_global_batch())))
                 stats = meter.step()
-                if stats:
+                if stats and is_main:
                     print("  throughput: %.2f steps/s, %.1f samples/s" % (
                         stats["steps_per_sec"], stats["samples_per_sec"]))
 
-            if epoch < cfg.epochs_encoder:
-                logs.log_epoch_encoder(epoch, float(m["contrast_loss"]))
-            else:
-                logs.log_epoch_joint(epoch, float(m["l1_loss"]),
-                                     float(m["contrast_loss"]))
+            if logs is not None:
+                if epoch < cfg.epochs_encoder:
+                    logs.log_epoch_encoder(epoch, float(m["contrast_loss"]))
+                else:
+                    logs.log_epoch_joint(epoch, float(m["l1_loss"]),
+                                         float(m["contrast_loss"]))
             if progress is not None:
                 progress(epoch, {k: float(v) for k, v in m.items()})
 
-            if epoch + 1 == cfg.epochs:
-                ckpt_lib.save(cfg.ckpt_path, epoch + 1, state)
+            if epoch + 1 == cfg.epochs and is_main:
+                ckpt_lib.save(cfg.ckpt_path, epoch + 1,
+                              jax.tree_util.tree_map(np.asarray, state))
 
             mean_psnr = None
-            if epoch >= cfg.epochs_encoder:
+            if epoch >= cfg.epochs_encoder and is_main:
                 logs.log_results_header(epoch + 1)
                 enc_vars, dec_vars = eval_variables(state)
+                enc_vars, dec_vars = local_vars(enc_vars), local_vars(dec_vars)
                 if eval_fn is None:
                     eval_fn = eval_runner.make_eval_fn(bundle)
                 psnrs = []
@@ -112,7 +167,11 @@ def run_training(cfg: Config, startpoint: int = 0,
                     psnrs.append(float(result.split(": ")[1].split("/")[0]))
                 mean_psnr = sum(psnrs) / len(psnrs) if psnrs else None
 
-            retention.maybe_save(epoch, state, mean_psnr)
+            if is_main:
+                retention.maybe_save(
+                    epoch, jax.tree_util.tree_map(np.asarray, state)
+                    if multihost else state, mean_psnr)
 
-    logs.close()
+    if logs is not None:
+        logs.close()
     return state
