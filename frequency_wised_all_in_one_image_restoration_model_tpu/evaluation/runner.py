@@ -53,19 +53,29 @@ def test_by_task(cfg: Config, bundle: ModelBundle, enc_vars, dec_vars,
                  task: str, epochs: int,
                  dataset: Optional[Iterable] = None,
                  eval_fn: Optional[Callable] = None,
-                 pool_tiles: int = 4) -> str:
+                 pool_tiles: int = 4, mesh=None) -> str:
     """Evaluate one task; returns the reference's result line
     (test.py:80-84). ``dataset`` yields ``(name, degraded, clean)`` float01
     HWC numpy arrays.
 
-    Throughput note: the reference runs one tiled mega-batch per image
-    (test.py:51-59); here tile batches from up to ``pool_tiles`` images are
-    pooled into one forward (tiles are independent), amortizing dispatch.
+    Throughput notes:
+    * the reference runs one tiled mega-batch per image (test.py:51-59);
+      here tile batches from up to ``pool_tiles`` images are pooled into one
+      forward (tiles are independent), amortizing dispatch;
+    * with ``mesh`` set, the pooled tile batch is SHARDED over the mesh's
+      batch axes — the SURVEY §2.4 spatial-tiling axis: tiles are
+      independent, so eval scales across chips with zero halo exchange
+      (pad-to-multiple, forward, drop the pad).
     """
     if dataset is None:
         dataset = build_test_dataset(cfg, task)
     if eval_fn is None:
         eval_fn = make_eval_fn(bundle)
+    if mesh is not None:
+        from ..parallel import mesh as mesh_lib
+        enc_vars = mesh_lib.replicate_tree(enc_vars, mesh)
+        dec_vars = mesh_lib.replicate_tree(dec_vars, mesh)
+        tile_sharding = mesh_lib.batch_sharding(mesh)
 
     psnr_meter = metrics.AverageMeter()
     ssim_meter = metrics.AverageMeter()
@@ -82,8 +92,15 @@ def test_by_task(cfg: Config, bundle: ModelBundle, enc_vars, dec_vars,
     def flush(group):
         if not group:
             return
-        tiles = jnp.concatenate([jnp.asarray(t) for _, t, _, _, _ in group])
-        restored = eval_fn(enc_vars, dec_vars, tiles)
+        tiles = np.concatenate([np.asarray(t) for _, t, _, _, _ in group])
+        n_tiles = tiles.shape[0]
+        if mesh is not None:
+            pad = (-n_tiles) % mesh.size
+            if pad:  # wrap-pad (pad may exceed n_tiles on a big mesh)
+                extra = np.take(tiles, np.arange(pad) % n_tiles, axis=0)
+                tiles = np.concatenate([tiles, extra], axis=0)
+            tiles = jax.device_put(tiles, tile_sharding)
+        restored = eval_fn(enc_vars, dec_vars, jnp.asarray(tiles))[:n_tiles]
         off = 0
         for name, t, offs, n, clean in group:
             r = tiling.stitch_tiles(restored[off:off + t.shape[0]],

@@ -117,3 +117,34 @@ def test_restore_image_single(rng):
                                dec_vars, img, 32)
     assert out.shape == (48, 80, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_test_by_task_mesh_sharded_matches_single(tmp_path):
+    """Eval tiles sharded across a virtual 8-device mesh (SURVEY §2.4
+    spatial-tiling axis) must reproduce the single-device result string."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from frequency_wised_all_in_one_image_restoration_model_tpu.parallel import mesh as mesh_lib
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training.state import create_train_state
+    from frequency_wised_all_in_one_image_restoration_model_tpu.data.synthetic import SyntheticTrainLoader
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training.loop import eval_variables
+
+    cfg = config.make_config(
+        encoder_type="ResNet", decoder_type="ResNet", de_type=["2tasks"],
+        patch_size=32, crop_test_imgs_size=32, encoder_dim=32,
+        synthetic_data=True, output_path=str(tmp_path) + "/")
+    bundle = ModelBundle(
+        cfg=cfg, encoder=ResNetEncoder(dim=32),
+        decoder=DGRN(n_feats=8, n_groups=1, n_blocks=1), num_losses=1)
+    loader = SyntheticTrainLoader(cfg, seed=0)
+    st = create_train_state(cfg, bundle, jax.random.PRNGKey(0), loader.next_batch())
+    enc_vars, dec_vars = eval_variables(st)
+
+    single = runner.test_by_task(cfg, bundle, enc_vars, dec_vars,
+                                 "deraining", epochs=1)
+    mesh = mesh_lib.make_mesh(8, 1)
+    sharded = runner.test_by_task(cfg, bundle, enc_vars, dec_vars,
+                                  "deraining", epochs=1, mesh=mesh)
+    assert sharded == single
