@@ -25,17 +25,28 @@ def _ckpt_dir(ckpt_path: str, epoch: int) -> str:
     return os.path.abspath(os.path.join(ckpt_path, f"epoch_{epoch}"))
 
 
+def _save_tree(path: str, state: TrainState) -> None:
+    import shutil
+
+    if os.path.exists(path):  # force-overwrite semantics
+        shutil.rmtree(path, ignore_errors=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree_util.tree_map(np.asarray, state))
+    # StandardCheckpointer saves are async; the context-manager exit above
+    # waits for completion, so the checkpoint is durable on return.
+
+
 def save(ckpt_path: str, epoch: int, state: TrainState) -> str:
     path = _ckpt_dir(ckpt_path, epoch)
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.tree_util.tree_map(np.asarray, state), force=True)
+    _save_tree(path, state)
     return path
 
 
 def restore(ckpt_path: str, epoch: int, template: TrainState) -> TrainState:
     path = _ckpt_dir(ckpt_path, epoch)
-    ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(path, item=jax.tree_util.tree_map(np.asarray, template))
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path, jax.tree_util.tree_map(np.asarray, template))
     return jax.tree_util.tree_map(lambda t, r: jax.numpy.asarray(r),
                                   template, restored)
 
@@ -79,9 +90,6 @@ class RetentionPolicy:
         if mean_psnr is not None and mean_psnr > self.best_psnr:
             self.best_psnr = mean_psnr
             best = os.path.join(os.path.abspath(self.ckpt_path), "best")
-            shutil.rmtree(best, ignore_errors=True)
-            ckptr = ocp.PyTreeCheckpointer()
-            ckptr.save(best, jax.tree_util.tree_map(np.asarray, state),
-                       force=True)
+            _save_tree(best, state)
             path = best
         return path
