@@ -80,3 +80,49 @@ def test_prefetcher(tmp_path, rng):
     assert all(b["d1"].shape == (2, 32, 32, 3) for b in batches)
     assert loader.total_pairs() == 5  # attribute passthrough
     loader.close()
+
+
+def test_prepare_datasets_synth_verify_load(tmp_path):
+    """tools/prepare_datasets.py: synth tree -> verify passes -> the file
+    loader trains from it (the written PARITY_RUNBOOK.md data path)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import prepare_datasets as prep
+
+    root = str(tmp_path / "data")
+    assert prep.main(["synth", "--root", root, "--n_train", "3",
+                      "--n_test", "1",
+                      "--tasks", "denoising_0", "deraining"]) == 0
+    assert prep.main(["verify", "--root", root]) == 0
+
+    cfg = config.make_config(de_type=["denoising_0", "deraining"],
+                             patch_size=32, data_root=root + "/")
+    loader = datasets.FileTrainLoader(cfg, seed=0)
+    b = loader.next_batch()
+    assert b["d1"].shape == (2, 32, 32, 3)
+
+
+def test_prepare_datasets_layout_matchers(tmp_path):
+    """layout places pairs so the reference pairing rule resolves them."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import prepare_datasets as prep
+    from PIL import Image
+
+    src_in = tmp_path / "rain"
+    src_gt = tmp_path / "norain"
+    src_in.mkdir(), src_gt.mkdir()
+    arr = np.zeros((20, 20, 3), np.uint8)
+    for i in range(2):
+        Image.fromarray(arr).save(src_in / f"rain-{i}.png")
+        Image.fromarray(arr).save(src_gt / f"norain-{i}.png")
+    root = str(tmp_path / "data")
+    assert prep.main(["layout", "--root", root, "--task", "deraining",
+                      "--split", "train", "--input", str(src_in),
+                      "--gt", str(src_gt), "--match", "rain100l"]) == 0
+    assert prep.main(["verify", "--root", root]) == 0
+    gt, inp = datasets.get_data_ids(
+        os.path.join(root, "deraining_train"), need_synthesize=False)
+    assert len(gt) == 2 and all(os.path.exists(p) for p in gt)
