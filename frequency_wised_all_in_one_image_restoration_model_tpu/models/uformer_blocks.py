@@ -384,25 +384,35 @@ class FrequencyWindowAttention(nn.Module):
         need_probs = self.is_mutable_collection("intermediates")
         nW = 1 if mask is None else mask.shape[0]
 
-        if self.kind == "intra" and not need_probs and not self.need_kv:
-            # ---- band-folded fast path ------------------------------------
+        # default OFF: measured on v5e, the grouped (L n)^2 attention beats
+        # L per-band calls at every stage (0.5-0.8x) — the kernel's window
+        # packing already tiles the 192-token groups well, and the per-band
+        # variant pays 3 dispatches + a concat (tools/op_bench.py `intra`)
+        import os
+        band_fold = os.environ.get("FAIRM_BAND_FOLD", "0") not in (
+            "0", "false", "False")
+        if (band_fold and self.kind == "intra" and not need_probs
+                and not self.need_kv):
+            # ---- per-band fast path ---------------------------------------
             # The intra mask puts -100 on every cross-band pair, which
             # softmax turns into e^-100 ~ 3.7e-44 (an fp32 denormal): the
             # (L n)^2 grouped attention decomposes into L independent n^2
             # attentions to < 1e-40 relative error — 1/L the logits/AV
             # FLOPs, and 64-token windows pack 2-per-MXU-tile in the fused
-            # kernel (the 192-token group cannot). Fold L into the HEAD
-            # axis; each band-head gets its diagonal bias table.
+            # kernel (the 192-token group cannot). The batch dim is already
+            # L-major ((l b) layout), so band l is a leading-dim slice —
+            # one attention_core call per band with its diagonal bias
+            # table, NO transposes (5-D transposes of these tensors send
+            # XLA's scan compilation super-linear).
             bnw = b_ // L
-            fold = lambda t: t.reshape(L, bnw, h, n, hd) \
-                              .transpose(1, 0, 2, 3, 4) \
-                              .reshape(bnw, L * h, n, hd)
             diag = per_pair[np.arange(L) * (L + 1)]        # [L, h, n, n]
-            bias = diag.reshape(L * h, n, n)
-            out, _ = attention_core(fold(q), fold(k), fold(v), bias, mask,
-                                    nW, self.dtype, need_probs=False)
-            out = out.reshape(bnw, n, L, h * hd).transpose(2, 0, 1, 3) \
-                     .reshape(b_, n, c)
+            outs = []
+            for l in range(L):
+                sl = slice(l * bnw, (l + 1) * bnw)
+                o, _ = attention_core(q[sl], k[sl], v[sl], diag[l], mask,
+                                      nW, self.dtype, need_probs=False)
+                outs.append(o)
+            out = jnp.concatenate(outs, axis=0)            # [(l bnw), n, c]
             out = nn.Dense(self.dim, kernel_init=trunc_normal_init,
                            dtype=self.dtype, name="proj")(out)
             return out, None
@@ -461,10 +471,64 @@ class ECA1d(nn.Module):
         return x * y.transpose(0, 2, 1)
 
 
+def use_fused_leff() -> bool:
+    """Fused Pallas LeFF — opt-in via FAIRM_FUSED_LEFF=1.
+
+    Default OFF: measured on v5e (tools/op_bench.py `leff`, fair bf16
+    weights both sides), the kernel is ~neutral per-op (0.95-1.43x) and a
+    net ~8% LOSS end-to-end — XLA already fuses the gelu chain into the
+    matmuls well, and the pallas call breaks the LN/residual fusion around
+    it. Kept as a component: shapes with C<=32 at high res do win, and the
+    kernel is the template for deeper block-level fusion."""
+    import os
+
+    flag = os.environ.get("FAIRM_FUSED_LEFF")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    return False
+
+
+class _DenseParams(nn.Module):
+    """Parameter twin of ``nn.Dense`` (same tree: kernel/bias, same init)
+    for paths that consume the weights directly (the fused LeFF kernel)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_init,
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _DwConvParams(nn.Module):
+    """Parameter twin of the depthwise ``nn.Conv`` (kernel [kh,kw,1,C],
+    lecun_normal — nn.Conv's default — and zero bias)."""
+
+    ch: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, 1, self.ch), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.ch,), jnp.float32)
+        return k, b
+
+
 class LeFF(nn.Module):
     """Locally-enhanced FFN: Linear-GELU -> 3x3 depthwise conv -> Linear
     (leff.py:71-117); optional deformable-conv variant conditioned on the
-    degradation map (leff.py:79-83, 103-107) and optional ECA."""
+    degradation map (leff.py:79-83, 103-107) and optional ECA.
+
+    On TPU with a 16-bit compute dtype the plain branch dispatches to the
+    fused Pallas kernel (ops/pallas/leff.py): the 4C hidden tensor — ~4 HBM
+    round-trips in the XLA lowering — stays in VMEM. Same parameter tree
+    (the _*Params twins), same math (gelu approximate, fp32 accumulation).
+    """
 
     hidden: int
     deform: bool = False
@@ -476,6 +540,21 @@ class LeFF(nn.Module):
     def __call__(self, x, inter=None):  # [B, N, C]
         b, n, c = x.shape
         side = int(math.isqrt(n))
+
+        if (not self.deform and use_fused_leff()
+                and jnp.dtype(self.dtype).itemsize == 2):
+            from ..ops.pallas.leff import fused_leff
+
+            w1, b1 = _DenseParams(c, self.hidden, name="linear1")()
+            wd, bd = _DwConvParams(self.hidden, name="dwconv")()
+            w2, b2 = _DenseParams(self.hidden, c, name="linear2")()
+            img = to_image(x, side, side).astype(self.dtype)
+            y = to_tokens(fused_leff(img, w1, b1, wd[:, :, 0, :], bd,
+                                     w2, b2))
+            if self.use_eca:
+                y = ECA1d(dtype=self.dtype, name="eca")(y)
+            return y
+
         y = nn.Dense(self.hidden, kernel_init=trunc_normal_init,
                      dtype=self.dtype, name="linear1")(x)
         y = nn.gelu(y)

@@ -1,0 +1,142 @@
+"""Per-stage op micro-bench on the real TPU: fused vs XLA for window
+attention (grouped vs per-band intra) and LeFF, at every shape the flagship
+model actually runs (B=64, 128x128 patches, L=3, embed 28/32).
+
+Timing: chained scan + scalar fetch (see bench.py docstring).
+
+Usage: python tools/op_bench.py [attn|leff|intra] ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 64
+
+
+def timer(fn, args, iters=16):
+    def chained(*args):
+        def body(c, _):
+            y = fn(c, *args[1:])
+            return (y * 0.999).astype(c.dtype), ()
+        out, _ = jax.lax.scan(body, args[0], None, length=iters)
+        return jnp.sum(out.astype(jnp.float32))
+
+    j = jax.jit(chained)
+    float(j(*args))
+    t0 = time.perf_counter()
+    v = float(j(*args))
+    dt = (time.perf_counter() - t0) / iters
+    assert v == v
+    return dt
+
+
+def bench_leff():
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops.pallas.leff import (
+        fused_leff, _xla_reference)
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.1
+    # (H, W, C): encoder stages (emb 28) and decoder stages (emb 32)
+    shapes = [(128, 128, 28), (64, 64, 56), (32, 32, 112), (16, 16, 224),
+              (8, 8, 448),
+              (128, 128, 32), (64, 64, 64), (32, 32, 128), (16, 16, 256),
+              (8, 8, 512)]
+    for (H, W, C) in shapes:
+        Hd = 4 * C
+        x = (mk(B, H, W, C) * 5).astype(jnp.bfloat16)
+        w = (mk(C, Hd), mk(Hd), mk(3, 3, Hd), mk(Hd), mk(Hd, C), mk(C))
+        # cast matmul/conv weights to bf16 for the XLA path too — that is
+        # what nn.Dense/nn.Conv(dtype=bf16) do in the model; mixed
+        # bf16 x fp32 einsums promote the whole op (incl. the dwconv) to
+        # fp32 and make XLA look pathologically slow
+        wb = tuple(t.astype(jnp.bfloat16) if t.ndim >= 2 else t for t in w)
+        tf = timer(lambda x, *w: fused_leff(x, *w), (x,) + w)
+        tx = timer(lambda x, *w: _xla_reference(x, *w), (x,) + wb)
+        print(f"LeFF H={H:3d} C={C:3d}: fused {tf*1e3:7.2f} ms  "
+              f"xla {tx*1e3:7.2f} ms  speedup {tx/tf:5.2f}x", flush=True)
+
+
+def bench_attn():
+    """Decoder-style origin window attention: kernel vs XLA."""
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.uformer_blocks import (
+        attention_core)
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    # (res, dim, heads): decoder stages, win 8 -> n=64
+    shapes = [(128, 32, 1), (64, 64, 2), (32, 128, 4), (16, 256, 8),
+              (8, 512, 16)]
+    n = 64
+    for (res, dim, h) in shapes:
+        nW = max((res // 8) ** 2, 1)
+        w = B * nW
+        hd = dim // h
+        q, k, v = (mk(w, h, n, hd).astype(jnp.bfloat16) for _ in range(3))
+        bias = mk(h, n, n)
+        for flag in ("1", "0"):
+            os.environ["FAIRM_FUSED_ATTENTION"] = flag
+            t = timer(lambda q, k, v, bias: attention_core(
+                q, k, v, bias, None, 1, jnp.bfloat16, need_probs=False)[0]
+                .reshape(q.shape), (q, k, v, bias))
+            fl = 2 * w * h * (n * n * hd * 2)  # logits + AV (unpacked)
+            print(f"attn res={res:3d} dim={dim:3d} h={h:2d} w={w}: "
+                  f"{'kernel' if flag == '1' else 'xla   '} {t*1e3:7.2f} ms "
+                  f"({fl/t/1e12:5.1f} TF/s eff)", flush=True)
+
+
+def bench_intra():
+    """Encoder freq intra: grouped (L*n tokens) vs per-band slices."""
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.uformer_blocks import (
+        attention_core)
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    L, n = 3, 64
+    shapes = [(128, 28, 1), (64, 56, 2), (32, 112, 4), (16, 224, 8)]
+    for (res, dim, h) in shapes:
+        nW = (res // 8) ** 2
+        bnw = B * nW
+        hd = dim // h
+        qg, kg, vg = (mk(bnw, h, L * n, hd).astype(jnp.bfloat16)
+                      for _ in range(3))
+        biasg = mk(h, L * n, L * n)
+        qs, ks, vs = (mk(L * bnw, h, n, hd).astype(jnp.bfloat16)
+                      for _ in range(3))
+        biass = mk(h, n, n)
+        os.environ["FAIRM_FUSED_ATTENTION"] = "1"
+        tg = timer(lambda q, k, v, b: attention_core(
+            q, k, v, b, None, 1, jnp.bfloat16, need_probs=False)[0]
+            .reshape(q.shape), (qg, kg, vg, biasg))
+
+        def per_band(q, k, v, b):
+            outs = []
+            for l in range(L):
+                sl = slice(l * bnw, (l + 1) * bnw)
+                o, _ = attention_core(q[sl], k[sl], v[sl], b, None, 1,
+                                      jnp.bfloat16, need_probs=False)
+                outs.append(o)
+            return jnp.concatenate(outs, 0).reshape(q.shape)
+
+        tb = timer(per_band, (qs, ks, vs, biass))
+        print(f"intra res={res:3d} dim={dim:3d} h={h:2d}: grouped "
+              f"{tg*1e3:7.2f} ms  per-band {tb*1e3:7.2f} ms  "
+              f"speedup {tg/tb:5.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("leff", "all"):
+        bench_leff()
+    if which in ("attn", "all"):
+        bench_attn()
+    if which in ("intra", "all"):
+        bench_intra()

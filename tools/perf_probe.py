@@ -22,19 +22,23 @@ import jax
 import jax.numpy as jnp
 
 
-def chain_timer(fn, x, iters):
-    """Time `fn` applied `iters` times chained inside one jit."""
-    def chained(x):
+def chain_timer(fn, x, iters, *extra):
+    """Time `fn` applied `iters` times chained inside one jit.
+
+    ``extra`` (model variables etc.) are passed as jit ARGUMENTS — closing
+    over them would bake them in as HLO constants, which the remote
+    compile helper chokes on (CLAUDE.md: oversized programs)."""
+    def chained(x, *extra):
         def body(carry, _):
-            y = fn(carry)
+            y = fn(carry, *extra)
             return jnp.clip(y, 0.0, 1.0), ()
         out, _ = jax.lax.scan(body, x, None, length=iters)
         return jnp.mean(out)
 
     run = jax.jit(chained)
-    float(run(x))  # compile + warm
+    float(run(x, *extra))  # compile + warm
     t0 = time.perf_counter()
-    v = float(run(x))
+    v = float(run(x, *extra))
     dt = time.perf_counter() - t0
     assert v == v
     return dt / iters
@@ -73,7 +77,7 @@ def main():
         {"params": r, "droppath": r}, x, i, train=False))(
             jax.random.PRNGKey(1), x1, x1 if inter is None else inter)
 
-    def enc_to_img(x):
+    def enc_to_img(x, enc_vars, dec_vars, inter_b):
         # encoder alone; collapse inter back to an image-shaped carry
         _, _, ctx = bundle.encode(enc_vars, x, train=False)
         y = sum(jnp.mean(b) for b in ctx.band_inter)
@@ -83,10 +87,10 @@ def main():
     _, _, inter_b = jax.jit(lambda v, x: bundle.encoder.apply(
         v, x, train=False))(enc_vars, x)
 
-    def dec_only(x):
+    def dec_only(x, enc_vars, dec_vars, inter_b):
         return bundle.decode(dec_vars, x, inter_b, train=False)
 
-    def full(x):
+    def full(x, enc_vars, dec_vars, inter_b):
         return eval_forward(bundle, enc_vars, dec_vars, x)
 
     n_px = args.batch * p * p / 1e6
@@ -96,7 +100,8 @@ def main():
         print(f"compiling {name}...", flush=True)
         for attempt in range(3):
             try:
-                dt = chain_timer(fn, x, args.iters)
+                dt = chain_timer(fn, x, args.iters, enc_vars, dec_vars,
+                                 inter_b)
                 break
             except Exception as e:  # transient tunnel failures happen
                 print(f"  attempt {attempt}: {type(e).__name__}: "
@@ -109,7 +114,7 @@ def main():
 
     # XLA flop estimates
     try:
-        full_c = jax.jit(full).lower(x).compile()
+        full_c = jax.jit(full).lower(x, enc_vars, dec_vars, inter_b).compile()
         fl = full_c.cost_analysis()
         if isinstance(fl, list):
             fl = fl[0]
