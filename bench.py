@@ -32,8 +32,12 @@ import jax
 import jax.numpy as jnp
 
 
-ITERS = 8
-BATCH = 64
+# B=8 is the measured throughput peak on v5e (tools/ab_flags.py sweep:
+# 2.28 MP/s at B=8 vs 1.81 at B=64) — small-batch activations stay
+# VMEM-resident across fused ops instead of round-tripping HBM. More
+# iterations keep total work (and the scan-chain amortization) comparable.
+ITERS = 48
+BATCH = 8
 
 
 def main():

@@ -65,7 +65,13 @@ def test_by_task(cfg: Config, bundle: ModelBundle, enc_vars, dec_vars,
     * with ``mesh`` set, the pooled tile batch is SHARDED over the mesh's
       batch axes — the SURVEY §2.4 spatial-tiling axis: tiles are
       independent, so eval scales across chips with zero halo exchange
-      (pad-to-multiple, forward, drop the pad).
+      (pad-to-multiple, forward, drop the pad);
+    * the single-chip forward runs in CHUNKS of 8 tiles: measured on v5e
+      (tools/ab_flags.py batch sweep), the flagship forward peaks at B=8
+      — 2.28 MP/s vs 1.81 at B=64 — because small-batch activations stay
+      VMEM-resident across fused ops instead of round-tripping HBM.
+      Chunking also normalizes shapes (one compiled program, fewer
+      tile-bucket recompiles).
     """
     if dataset is None:
         dataset = build_test_dataset(cfg, task)
@@ -100,7 +106,17 @@ def test_by_task(cfg: Config, bundle: ModelBundle, enc_vars, dec_vars,
                 extra = np.take(tiles, np.arange(pad) % n_tiles, axis=0)
                 tiles = np.concatenate([tiles, extra], axis=0)
             tiles = jax.device_put(tiles, tile_sharding)
-        restored = eval_fn(enc_vars, dec_vars, jnp.asarray(tiles))[:n_tiles]
+            restored = eval_fn(enc_vars, dec_vars, jnp.asarray(tiles))
+        else:
+            chunk = 8  # VMEM-residency sweet spot (see docstring)
+            pad = (-n_tiles) % chunk
+            if pad:
+                extra = np.take(tiles, np.arange(pad) % n_tiles, axis=0)
+                tiles = np.concatenate([tiles, extra], axis=0)
+            parts = [eval_fn(enc_vars, dec_vars, jnp.asarray(
+                tiles[o:o + chunk])) for o in range(0, tiles.shape[0], chunk)]
+            restored = jnp.concatenate(parts, axis=0)
+        restored = restored[:n_tiles]
         off = 0
         for name, t, offs, n, clean in group:
             r = tiling.stitch_tiles(restored[off:off + t.shape[0]],

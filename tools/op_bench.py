@@ -132,6 +132,32 @@ def bench_intra():
               f"speedup {tg/tb:5.2f}x", flush=True)
 
 
+def bench_block():
+    """Whole LeWinBlock (origin MSA, no injection) vs its parts: the
+    difference is 'glue' (LN, qkv/proj, window partition, residuals)."""
+    import flax.linen as nn
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.uformer_lewin import (
+        LeWinBlock)
+
+    rng_np = np.random.default_rng(0)
+    shapes = [(128, 32, 1), (64, 64, 2), (32, 128, 4), (16, 256, 8),
+              (8, 512, 16)]
+    for (res, dim, h) in shapes:
+        blk = LeWinBlock(dim=dim, input_resolution=res, num_heads=h,
+                         win_size=8, shift_size=0, dtype=jnp.bfloat16)
+        x = jnp.asarray(rng_np.standard_normal(
+            (B, res * res, dim)).astype(np.float32)).astype(jnp.bfloat16)
+        variables = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
+
+        def fwd(x, variables):
+            y, _ = blk.apply(variables, x, deterministic=True)
+            return y.astype(x.dtype)
+
+        t = timer(fwd, (x, variables))
+        print(f"block res={res:3d} dim={dim:3d} h={h:2d}: {t*1e3:7.2f} ms",
+              flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("leff", "all"):
@@ -140,3 +166,5 @@ if __name__ == "__main__":
         bench_attn()
     if which in ("intra", "all"):
         bench_intra()
+    if which in ("block",):
+        bench_block()
