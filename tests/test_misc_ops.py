@@ -72,3 +72,36 @@ def test_gan_loss():
     assert abs(v - expected) < 1e-6
     with pytest.raises(ValueError):
         image_ops.gan_loss(logits, True, "wgan")
+
+
+def test_bilinear_gather_matches_four_corner_reference(rng):
+    """The fused single-gather bilinear sampler (1-px pad + 4-corner
+    channel concat) must equal the masked 4-corner formulation everywhere,
+    including exact boundary coordinates and far out-of-bounds."""
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops.deform_conv import (
+        _bilinear_gather)
+
+    B, H, W, C = 2, 6, 5, 3
+    x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    yy = rng.uniform(-3, H + 2, (B, 500)).astype(np.float32)
+    xx = rng.uniform(-3, W + 2, (B, 500)).astype(np.float32)
+    yy[0, :4] = [-1.0, 0.0, H - 1.0, float(H)]
+    xx[0, :4] = [-1.0, 0.0, W - 1.0, float(W)]
+
+    out = np.asarray(_bilinear_gather(jnp.asarray(x), jnp.asarray(yy),
+                                      jnp.asarray(xx)))
+    ref = np.zeros((B, 500, C), np.float32)
+    y0 = np.floor(yy)
+    x0 = np.floor(xx)
+    wy, wx = yy - y0, xx - x0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cy, cx = y0 + dy, x0 + dx
+            valid = (cy >= 0) & (cy <= H - 1) & (cx >= 0) & (cx <= W - 1)
+            cyc = np.clip(cy, 0, H - 1).astype(int)
+            cxc = np.clip(cx, 0, W - 1).astype(int)
+            vals = x[np.arange(B)[:, None], cyc, cxc]
+            ref += vals * (np.abs(1 - dy - wy) * np.abs(1 - dx - wx)
+                           * valid)[..., None]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(out).all()
