@@ -142,7 +142,10 @@ def modulated_deform_conv2d(
     — PARITY.md), exact gather composite otherwise."""
     kh, kw = weight.shape[0], weight.shape[1]
     centered = padding == (kh // 2) * dilation == (kw // 2) * dilation
-    if stride == 1 and centered and use_dcn_kernel():
+    # 16-bit only: the kernel's unrolled shift temporaries double at fp32
+    # and blow the VMEM stack; fp32 (PSNR-parity eval) keeps the exact path
+    if (stride == 1 and centered and use_dcn_kernel()
+            and jnp.dtype(x.dtype).itemsize == 2):
         b = bias if bias is not None else jnp.zeros(
             (weight.shape[-1],), jnp.float32)
         return _dcn_fast(x, offset, mask, weight, b, _dcn_r(), padding,

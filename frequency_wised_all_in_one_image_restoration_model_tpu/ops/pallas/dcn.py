@@ -17,17 +17,21 @@ over a STATIC (2R+3)^2 shift neighborhood with triangular-hat weights:
 
 where ``tri(t) = max(0, 1 − |t|)`` — nonzero for at most 2 integers per
 axis, so the decomposition is EXACT (identical to the im2col composite
-evaluated on clamped offsets; tests assert this). Static shifts are free
-VMEM slices; the modulated column buffer then hits the MXU once against
-the ``[K·Cin, Cout]`` weight. Offsets in DGRN are zero-initialized and
-stay small, so the clamp (default R=2, configurable) is the production
-semantics; ``max_offset=None`` in the public wrapper keeps the exact
-unbounded path.
+evaluated on clamped offsets; tests assert this). Static shifts are VMEM
+slices; each tap's modulated sample hits the MXU against its ``[C, Cout]``
+weight slice. Offsets in DGRN are zero-initialized and stay small, so the
+clamp (default R=2, ``FAIRM_DCN_R``) is the production semantics;
+``FAIRM_DCN_KERNEL=0`` keeps the exact unbounded path.
 
-Layout: grid ``(B, H/T)``; the row-halo (R+1 rows each side) comes from
-passing x under three pipelined BlockSpecs (previous/current/next row
-block — same pattern as ops/pallas/leff.py), with out-of-image halo rows
-zeroed in-kernel to preserve zero padding.
+Layout: grid ``(B, H/T, K)`` — the TAP is a grid dimension, so per-tap
+offset/mask/weight blocks are selected by BlockSpec index maps (no
+in-kernel dynamic lane indexing) and the per-program VMEM stack stays
+small (an unrolled 9-tap loop multiplies Mosaic's per-iteration stack
+allocations past the 16 MB budget). The fp32 output block is revisited
+across the K grid steps and accumulated in place. The row halo (R+2 rows
+each side) comes from passing x under three pipelined BlockSpecs
+(previous/current/next row block — same pattern as ops/pallas/leff.py),
+with out-of-image halo rows zeroed in-kernel to preserve zero padding.
 """
 
 from __future__ import annotations
@@ -36,7 +40,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,66 +48,80 @@ def _tri(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def _kernel(prev_ref, cur_ref, next_ref, off_ref, mask_ref, w_ref, b_ref,
-            out_ref, *, T: int, W: int, C: int, Cout: int, K: int,
-            kh: int, kw: int, R: int, pad: int, dil: int, has_bias: bool):
+def _kernel(prev_ref, cur_ref, next_ref, off_ref, mask_ref, w_ref,
+            out_ref, xp_ref, *, T: int, W: int, C: int, Cout: int,
+            kh: int, kw: int, R: int, pad: int, dil: int):
     i = pl.program_id(1)
+    k = pl.program_id(2)
     # max |shift| per axis: tap reach (dil * kh//2) + offset clamp R +
     # 1 bilinear corner; for 3x3/pad=1/R=2 the shift range is [-4, 4]
     S = R + 1 + dil * (kh // 2)
     Rh = S                                   # row halo each side
+    n_s = 2 * R + 3                          # shifts per axis per tap
 
-    x = jnp.concatenate(
-        [prev_ref[0, T - Rh:], cur_ref[0], next_ref[0, :Rh]], axis=0)
-    # zero out-of-image halo rows (edge blocks carry clamped duplicates)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T + 2 * Rh, 1, 1), 0)
-    grow = rows + i * T - Rh                 # global row index
-    nI = pl.num_programs(1)
-    x = jnp.where((grow < 0) | (grow >= nI * T), 0.0, x)
-    # zero-pad width by S in-register
-    zcol = jnp.zeros((T + 2 * Rh, S, C), x.dtype)
-    xp = jnp.concatenate([zcol, x, zcol], axis=1)   # [T+2S, W+2S, C]
+    @pl.when(k == 0)
+    def _():
+        x = jnp.concatenate(
+            [prev_ref[0, T - Rh:], cur_ref[0], next_ref[0, :Rh]], axis=0)
+        # zero out-of-image halo rows (edge blocks carry clamped rows)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T + 2 * Rh, 1, 1), 0)
+        grow = rows + i * T - Rh             # global row index
+        nI = pl.num_programs(1)
+        x = jnp.where((grow < 0) | (grow >= nI * T), 0.0, x)
+        xp_ref[...] = x
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    off = off_ref[0]                          # [T, W, 2K] (Δy's then Δx's)
-    m = mask_ref[0]                           # [T, W, K]
-    oy = jnp.clip(off[..., :K].astype(jnp.float32), -float(R), float(R))
-    ox = jnp.clip(off[..., K:].astype(jnp.float32), -float(R), float(R))
+    # tap offset relative to the output pixel (3x3/pad=1 -> -1,0,1);
+    # the wrapper asserts centered padding (pad == (kh//2)*dil)
+    ky = (k // kw) * dil - pad
+    kx = (k % kw) * dil - pad
+    oy = jnp.clip(off_ref[0, 0, 0].astype(jnp.float32),
+                  -float(R), float(R))       # [T, W]
+    ox = jnp.clip(off_ref[0, 1, 0].astype(jnp.float32),
+                  -float(R), float(R))
+    ry = oy + ky.astype(jnp.float32)
+    rx = ox + kx.astype(jnp.float32)
+    m = mask_ref[0, 0]                       # [T, W]
 
-    cols = []
-    for k in range(K):
-        # tap offset relative to the output pixel (3x3/pad=1 -> -1,0,1);
-        # the wrapper asserts centered padding (pad == (kh//2)*dil)
-        ky = (k // kw) * dil - pad
-        kx = (k % kw) * dil - pad
-        ry = oy[..., k] + ky                  # [T, W]
-        rx = ox[..., k] + kx
-        acc = jnp.zeros((T, W, C), jnp.float32)
-        for sy in range(ky - (R + 1), ky + R + 2):
-            ty = _tri(ry - sy)
-            for sx in range(kx - (R + 1), kx + R + 2):
-                wgt = (ty * _tri(rx - sx))[..., None]
-                sl = xp[Rh + sy:Rh + sy + T, S + sx:S + sx + W]
-                acc = acc + sl.astype(jnp.float32) * wgt
-        cols.append(acc * m[..., k:k + 1].astype(jnp.float32))
+    # fori over ROW shifts (pl.ds dynamic start — dim 0 is untiled, any
+    # start is legal) with the 2R+3 COLUMN shifts unrolled inside: a flat
+    # (2R+3)^2 fori is latency-bound (~0.7 us per tiny body), while a
+    # fully unrolled loop stack-allocates past the VMEM budget. Width
+    # shifts use pltpu.roll (dynamic shift) + a boundary mask — width is
+    # the sublane dim and slice starts there must be multiples of 8. The
+    # shifted mul runs in x's dtype; accumulation stays fp32.
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
 
-    col = jnp.stack(cols, axis=2).reshape(T * W, K * C)
-    out = jax.lax.dot_general(
-        col.astype(w_ref.dtype), w_ref[...],
+    def row_body(u, acc):
+        sy = ky + u - (R + 1)                 # traced row shift
+        ty = _tri(ry - sy.astype(jnp.float32))
+        rows = xp_ref[pl.ds(Rh + sy, T)]      # [T, W, C]
+        for v in range(n_s):
+            sx = kx + (v - (R + 1))           # traced column shift
+            inb = (col_ids + sx >= 0) & (col_ids + sx < W)
+            wgt = (ty * _tri(rx - sx.astype(jnp.float32)))[..., None] * inb
+            rolled = pltpu.roll(rows, -sx, axis=1)
+            acc = acc + (rolled * wgt.astype(rows.dtype)).astype(
+                jnp.float32)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n_s, row_body, jnp.zeros((T, W, C), jnp.float32))
+    acc = acc * m[..., None].astype(jnp.float32)
+    out_ref[...] += jax.lax.dot_general(
+        acc.reshape(T * W, C).astype(w_ref.dtype), w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if has_bias:
-        out = out + b_ref[...]
-    out_ref[...] = out.reshape(1, T, W, Cout).astype(out_ref.dtype)
+        preferred_element_type=jnp.float32).reshape(1, T, W, Cout)
 
 
 def _choose_t(H: int, S: int) -> int:
-    """Rows per tile: need T >= S for single-neighbor halo; keep the
-    VMEM-resident column buffer (~T*W*K*C fp32) modest via the caller's
-    shapes — T=16 divides every DGRN resolution and satisfies S<=8."""
-    t = min(H, 16)
+    """Rows per tile: need T >= S for the single-neighbor halo, T a
+    multiple of 8 (TPU sublane tiling), and small — the (2R+3)^2 unrolled
+    shift temporaries scale with T and live on Mosaic's VMEM stack."""
+    t = min(H, max(8, ((S + 7) // 8) * 8))
     while H % t != 0 or t < S:
-        t += 1
-        if t > H:
+        t += 8
+        if t >= H:
             return H
     return t
 
@@ -115,7 +132,7 @@ def dcn_shift_kernel(x, offset, mask, weight, bias=None, *, R: int = 2,
     """Clamped-offset DCNv2 forward (stride 1).
 
     Args match ops/deform_conv.py:modulated_deform_conv2d; offsets are
-    clamped to ``[-R, R]``. Returns ``[B, H, W, Cout]``.
+    clamped to ``[-R, R]``. Returns ``[B, H, W, Cout]`` in x's dtype.
     """
     b, h, w, c = x.shape
     kh, kw, _, cout = weight.shape
@@ -126,33 +143,38 @@ def dcn_shift_kernel(x, offset, mask, weight, bias=None, *, R: int = 2,
     T = _choose_t(h, S)
     nI = h // T
 
-    wflat = weight.reshape(k * c, cout).astype(x.dtype)
-    has_bias = bias is not None
-    barr = (bias.astype(jnp.float32) if has_bias
-            else jnp.zeros((cout,), jnp.float32))
+    # tap-major layouts so the K grid dim selects per-tap blocks
+    off_t = offset.reshape(b, h, w, 2, k).transpose(0, 3, 4, 1, 2)
+    mask_t = mask.transpose(0, 3, 1, 2)              # [B, K, H, W]
+    w_t = weight.reshape(k, c, cout).astype(x.dtype)
 
     kernel = functools.partial(
-        _kernel, T=T, W=w, C=c, Cout=cout, K=k, kh=kh, kw=kw, R=R,
-        pad=padding, dil=dilation, has_bias=has_bias)
+        _kernel, T=T, W=w, C=c, Cout=cout, kh=kh, kw=kw, R=R,
+        pad=padding, dil=dilation)
     xspec = lambda imap: pl.BlockSpec((1, T, w, c), imap,
                                       memory_space=pltpu.VMEM)
-    vspec = lambda *shape: pl.BlockSpec(
-        shape, lambda bb, ii: (0,) * len(shape), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b, nI),
+        grid=(b, nI, k),
         in_specs=[
-            xspec(lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0, 0)),
-            xspec(lambda bb, ii: (bb, ii, 0, 0)),
-            xspec(lambda bb, ii: (bb, jnp.minimum(ii + 1, nI - 1), 0, 0)),
-            pl.BlockSpec((1, T, w, 2 * k), lambda bb, ii: (bb, ii, 0, 0),
+            xspec(lambda bb, ii, kk: (bb, jnp.maximum(ii - 1, 0), 0, 0)),
+            xspec(lambda bb, ii, kk: (bb, ii, 0, 0)),
+            xspec(lambda bb, ii, kk: (bb, jnp.minimum(ii + 1, nI - 1), 0, 0)),
+            pl.BlockSpec((1, 2, 1, T, w),
+                         lambda bb, ii, kk: (bb, 0, kk, ii, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, w, k), lambda bb, ii: (bb, ii, 0, 0),
+            pl.BlockSpec((1, 1, T, w), lambda bb, ii, kk: (bb, kk, ii, 0),
                          memory_space=pltpu.VMEM),
-            vspec(k * c, cout), vspec(cout),
+            pl.BlockSpec((1, c, cout), lambda bb, ii, kk: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, w, cout), lambda bb, ii: (bb, ii, 0, 0),
+        out_specs=pl.BlockSpec((1, T, w, cout),
+                               lambda bb, ii, kk: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T + 2 * S, w + 2 * S, c), x.dtype)],
         interpret=interpret,
-    )(x, x, x, offset, mask, wflat, barr)
+    )(x, x, x, off_t, mask_t, w_t)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
