@@ -164,11 +164,11 @@ def attention_core(q, k, v, bias, mask, nW: int, dtype, need_probs=True):
     bq, h, n, hd = q.shape
     scale = hd ** -0.5
 
-    # the fused kernel targets the bf16 production path; fp32 (PSNR-parity
-    # eval) keeps the XLA lowering — fp32 operands can blow the scoped-VMEM
-    # budget XLA grants the custom call
-    if (not need_probs and use_fused_attention()
-            and jnp.dtype(dtype).itemsize == 2):
+    # bf16 AND fp32 (PSNR-parity eval) both dispatch to the fused kernel:
+    # _choose_pg sizes its G caps from the operand itemsize, so fp32 simply
+    # gets half the windows per program (VERDICT r2 #5 — the parity-eval
+    # configuration used to fall back to the ~1%-MXU XLA lowering)
+    if not need_probs and use_fused_attention():
         from ..ops.pallas.window_attention import fused_window_attention
 
         b = bias if bias is not None else jnp.zeros(

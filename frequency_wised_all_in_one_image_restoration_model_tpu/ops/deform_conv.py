@@ -17,16 +17,17 @@ clipped to [-1, H] sample the pad ring, which contributes exactly 0).
 
 Perf reality measured on v5e: XLA TPU gathers are BYTE-bound at ~64 GB/s
 (flat ``take``; batched ``take_along_axis`` only manages ~32) regardless
-of row width — so fusing four gathers into one moves the same bytes and
-this composite stays ~40 ms for B=8 x 128^2 x 64ch (a plain 3x3 conv of
+of row width — fusing four gathers into one moves the same bytes; this
+composite measures 18.4 ms for B=8 x 128^2 x 64ch (a plain 3x3 conv of
 the same shape is ~2 ms). Gathers inside a Pallas kernel are not an
 option either: Mosaic's ``tpu.dynamic_gather`` supports only a single
-source vreg along the gather dimension. The fast path is therefore
+source vreg along the gather dimension. The alternative
 :mod:`..ops.pallas.dcn` — a GATHER-FREE kernel that clamps offsets to a
 radius R and decomposes bilinear sampling into static VMEM shifts with
 triangular-hat weights (exactly equal to this composite evaluated on
-clamped offsets); this module remains the exact-semantics fallback and
-the backward path.
+clamped offsets) — measures 35.6 ms at the same shape (the 25-shift hat
+decomposition is ~6x the VPU work of 4 bilinear corners), so THIS module
+is the default TPU path; the kernel stays opt-in (FAIRM_DCN_KERNEL=1).
 
 Semantics follow DCNv2: sampling location for output pixel ``p`` and kernel
 tap ``k`` is ``p + k_offset + Δp_k`` with learned per-pixel ``Δp_k`` and a
@@ -43,13 +44,18 @@ import jax.numpy as jnp
 
 
 def use_dcn_kernel() -> bool:
-    """Gather-free Pallas DCN (ops/pallas/dcn.py): on for TPU backends,
-    overridable via FAIRM_DCN_KERNEL=0/1. FAIRM_DCN_R sets the offset
-    clamp radius (default 2; see PARITY.md)."""
+    """Gather-free Pallas DCN (ops/pallas/dcn.py): opt-in via
+    FAIRM_DCN_KERNEL=1. Default OFF — measured on v5e (2026-08-17,
+    tools/op_bench.py dcn, B=8 x 128^2 x 64ch): the kernel runs 35.6 ms
+    vs the exact gather composite's 18.4 ms; its 25-shift hat
+    decomposition costs ~6x the VPU mul-adds of the 4-corner gather and
+    the dynamic-slice loop is latency-bound. The composite is also EXACT
+    (no offset clamp). FAIRM_DCN_R sets the kernel's clamp radius
+    (default 2; see PARITY.md)."""
     flag = os.environ.get("FAIRM_DCN_KERNEL")
     if flag is not None:
         return flag not in ("0", "false", "False")
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _dcn_r() -> int:
@@ -137,14 +143,24 @@ def modulated_deform_conv2d(
     padding: int = 1,
     dilation: int = 1,
 ) -> jax.Array:
-    """DCNv2 forward: dispatches to the gather-free Pallas kernel on TPU
-    (stride-1, centered taps; offsets clamped to ±FAIRM_DCN_R, default 2
-    — PARITY.md), exact gather composite otherwise."""
+    """DCNv2 forward: exact gather composite by default; opt-in dispatch
+    to the gather-free Pallas kernel (FAIRM_DCN_KERNEL=1; stride-1,
+    centered taps; offsets clamped to ±FAIRM_DCN_R, default 2 —
+    PARITY.md)."""
     kh, kw = weight.shape[0], weight.shape[1]
     centered = padding == (kh // 2) * dilation == (kw // 2) * dilation
     # 16-bit only: the kernel's unrolled shift temporaries double at fp32
-    # and blow the VMEM stack; fp32 (PSNR-parity eval) keeps the exact path
-    if (stride == 1 and centered and use_dcn_kernel()
+    # and blow the VMEM stack; fp32 (PSNR-parity eval) keeps the exact path.
+    # VMEM guard: the kernel precomputes 2S+1 column-rolled fp32 copies in
+    # scratch — wide-C shapes (deform_conv injection at deep decoder dims)
+    # would not fit, so they keep the exact path too.
+    if stride == 1 and centered:
+        from .pallas.dcn import scratch_bytes
+
+        fits = scratch_bytes(x.shape, kh, _dcn_r(), dilation) <= (10 << 20)
+    else:
+        fits = False
+    if (fits and use_dcn_kernel()
             and jnp.dtype(x.dtype).itemsize == 2):
         b = bias if bias is not None else jnp.zeros(
             (weight.shape[-1],), jnp.float32)

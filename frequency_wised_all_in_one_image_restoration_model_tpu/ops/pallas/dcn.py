@@ -20,8 +20,18 @@ axis, so the decomposition is EXACT (identical to the im2col composite
 evaluated on clamped offsets; tests assert this). Static shifts are VMEM
 slices; each tap's modulated sample hits the MXU against its ``[C, Cout]``
 weight slice. Offsets in DGRN are zero-initialized and stay small, so the
-clamp (default R=2, ``FAIRM_DCN_R``) is the production semantics;
-``FAIRM_DCN_KERNEL=0`` keeps the exact unbounded path.
+clamp (default R=2, ``FAIRM_DCN_R``) preserves semantics.
+
+Measured on the real v5e (2026-08-17, tools/op_bench.py dcn): correct
+on-chip (2.3e-3 rel err vs the clamped composite at bf16) but SLOWER —
+35.6 ms vs the composite's 18.4 ms at B=8 x 128^2 x 64ch. The (2R+3)^2
+hat expansion does ~6x the VPU mul-adds of 4-corner bilinear gathering,
+and the per-(tap, shift) dynamic-slice loop is latency-bound (a T=16
+row tile to halve the cell count exceeds scoped VMEM). The kernel is
+therefore OPT-IN (``FAIRM_DCN_KERNEL=1``); the default TPU path is the
+exact composite in ops/deform_conv.py. Kept as a working, tested
+capability (the reference ships its DCN behind ``assert False``) and as
+the template for shift-decomposition kernels.
 
 Layout: grid ``(B, H/T, K)`` — the TAP is a grid dimension, so per-tap
 offset/mask/weight blocks are selected by BlockSpec index maps (no
@@ -49,7 +59,7 @@ def _tri(t):
 
 
 def _kernel(prev_ref, cur_ref, next_ref, off_ref, mask_ref, w_ref,
-            out_ref, xp_ref, *, T: int, W: int, C: int, Cout: int,
+            out_ref, xro_ref, *, T: int, W: int, C: int, Cout: int,
             kh: int, kw: int, R: int, pad: int, dil: int):
     i = pl.program_id(1)
     k = pl.program_id(2)
@@ -68,7 +78,16 @@ def _kernel(prev_ref, cur_ref, next_ref, off_ref, mask_ref, w_ref,
         grow = rows + i * T - Rh             # global row index
         nI = pl.num_programs(1)
         x = jnp.where((grow < 0) | (grow >= nI * T), 0.0, x)
-        xp_ref[...] = x
+        # Precompute ALL 2S+1 column-rolled fp32 copies ONCE per row
+        # block, with STATIC shifts. Per-tap dynamic rotates were the
+        # kernel's cost (measured 48 ms vs the composite's 19 at the
+        # DGRN shape — ~45 latency-bound rotates per grid cell); a
+        # static roll at k==0 amortizes over all K taps. fp32 because
+        # Mosaic's rotate doesn't take 16-bit data, and the hat-weight
+        # mul-accumulate wants fp32 anyway.
+        xf = x.astype(jnp.float32)
+        for s in range(-S, S + 1):
+            xro_ref[s + S] = pltpu.roll(xf, (-s) % W, axis=1)
         out_ref[...] = jnp.zeros_like(out_ref)
 
     # tap offset relative to the output pixel (3x3/pad=1 -> -1,0,1);
@@ -83,26 +102,24 @@ def _kernel(prev_ref, cur_ref, next_ref, off_ref, mask_ref, w_ref,
     rx = ox + kx.astype(jnp.float32)
     m = mask_ref[0, 0]                       # [T, W]
 
-    # fori over ROW shifts (pl.ds dynamic start — dim 0 is untiled, any
-    # start is legal) with the 2R+3 COLUMN shifts unrolled inside: a flat
-    # (2R+3)^2 fori is latency-bound (~0.7 us per tiny body), while a
-    # fully unrolled loop stack-allocates past the VMEM budget. Width
-    # shifts use pltpu.roll (dynamic shift) + a boundary mask — width is
-    # the sublane dim and slice starts there must be multiples of 8. The
-    # shifted mul runs in x's dtype; accumulation stays fp32.
+    # fori over ROW shifts (pl.ds dynamic start — the row dim is untiled,
+    # any start is legal) with the 2R+3 COLUMN shifts unrolled inside: a
+    # flat (2R+3)^2 fori is latency-bound (~0.7 us per tiny body), while a
+    # fully unrolled loop stack-allocates past the VMEM budget. Column
+    # shifts are dynamic leading-dim picks from the precomputed rolled
+    # copies (no rotate in the hot loop); wrapped columns are killed by
+    # the in-bounds factor folded into the hat weight.
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
 
     def row_body(u, acc):
         sy = ky + u - (R + 1)                 # traced row shift
         ty = _tri(ry - sy.astype(jnp.float32))
-        rows = xp_ref[pl.ds(Rh + sy, T)]      # [T, W, C]
         for v in range(n_s):
             sx = kx + (v - (R + 1))           # traced column shift
             inb = (col_ids + sx >= 0) & (col_ids + sx < W)
             wgt = (ty * _tri(rx - sx.astype(jnp.float32)))[..., None] * inb
-            rolled = pltpu.roll(rows, -sx, axis=1)
-            acc = acc + (rolled * wgt.astype(rows.dtype)).astype(
-                jnp.float32)
+            rows = xro_ref[sx + S, pl.ds(Rh + sy, T)]   # [T, W, C] fp32
+            acc = acc + rows * wgt
         return acc
 
     acc = jax.lax.fori_loop(
@@ -114,10 +131,20 @@ def _kernel(prev_ref, cur_ref, next_ref, off_ref, mask_ref, w_ref,
         preferred_element_type=jnp.float32).reshape(1, T, W, Cout)
 
 
+def scratch_bytes(x_shape, kh: int, R: int, dilation: int) -> int:
+    """VMEM bytes of the rolled-copies scratch for this shape (used by the
+    dispatch guard in ops/deform_conv.py)."""
+    _, h, w, c = x_shape
+    S = R + 1 + dilation * (kh // 2)
+    T = _choose_t(h, S)
+    return (2 * S + 1) * (T + 2 * S) * w * c * 4
+
+
 def _choose_t(H: int, S: int) -> int:
     """Rows per tile: need T >= S for the single-neighbor halo, T a
-    multiple of 8 (TPU sublane tiling), and small — the (2R+3)^2 unrolled
-    shift temporaries scale with T and live on Mosaic's VMEM stack."""
+    multiple of 8 (TPU sublane tiling), and small — the unrolled shift
+    temporaries scale with T on Mosaic's VMEM stack (T=16 at the DGRN
+    shape exceeds the 16 MB scoped-VMEM limit by 1.4 MB, measured)."""
     t = min(H, max(8, ((S + 7) // 8) * 8))
     while H % t != 0 or t < S:
         t += 8
@@ -128,12 +155,16 @@ def _choose_t(H: int, S: int) -> int:
 
 def dcn_shift_kernel(x, offset, mask, weight, bias=None, *, R: int = 2,
                      padding: int = 1, dilation: int = 1,
-                     interpret: bool = False):
+                     interpret: bool | None = None):
     """Clamped-offset DCNv2 forward (stride 1).
 
     Args match ops/deform_conv.py:modulated_deform_conv2d; offsets are
     clamped to ``[-R, R]``. Returns ``[B, H, W, Cout]`` in x's dtype.
+    ``interpret=None`` auto-selects Pallas interpret mode off-TPU so the
+    kernel (and the custom VJP routed through it) runs in CPU tests.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
     kh, kw, _, cout = weight.shape
     assert padding == (kh // 2) * dilation == (kw // 2) * dilation, \
@@ -172,7 +203,8 @@ def dcn_shift_kernel(x, offset, mask, weight, bias=None, *, R: int = 2,
                                lambda bb, ii, kk: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T + 2 * S, w + 2 * S, c), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((2 * S + 1, T + 2 * S, w, c),
+                                   jnp.float32)],
         interpret=interpret,
     )(x, x, x, off_t, mask_t, w_t)
     if bias is not None:

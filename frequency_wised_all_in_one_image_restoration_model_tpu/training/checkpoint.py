@@ -26,12 +26,15 @@ def _ckpt_dir(ckpt_path: str, epoch: int) -> str:
 
 
 def _save_tree(path: str, state: TrainState) -> None:
-    import shutil
-
-    if os.path.exists(path):  # force-overwrite semantics
-        shutil.rmtree(path, ignore_errors=True)
+    # force=True gives overwrite semantics with Orbax handling the deletion
+    # (on the primary host, with sync) — a manual pre-rmtree on process 0
+    # would race the other processes' save in multi-host runs. EVERY process
+    # must call this: Orbax save runs sync_global_processes barriers when
+    # jax.process_count() > 1, so gating the call to process 0 deadlocks
+    # training at the first checkpoint (ADVICE r2).
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.tree_util.tree_map(np.asarray, state))
+        ckptr.save(path, jax.tree_util.tree_map(np.asarray, state),
+                   force=True)
     # StandardCheckpointer saves are async; the context-manager exit above
     # waits for completion, so the checkpoint is durable on return.
 
@@ -85,8 +88,9 @@ class RetentionPolicy:
             self.saved.append(epoch + 1)
             while len(self.saved) > self.keep:
                 old = self.saved.pop(0)
-                shutil.rmtree(_ckpt_dir(self.ckpt_path, old),
-                              ignore_errors=True)
+                if jax.process_index() == 0:
+                    shutil.rmtree(_ckpt_dir(self.ckpt_path, old),
+                                  ignore_errors=True)
         if mean_psnr is not None and mean_psnr > self.best_psnr:
             self.best_psnr = mean_psnr
             best = os.path.join(os.path.abspath(self.ckpt_path), "best")

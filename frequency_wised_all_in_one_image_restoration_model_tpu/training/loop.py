@@ -147,7 +147,11 @@ def run_training(cfg: Config, startpoint: int = 0,
             if progress is not None:
                 progress(epoch, {k: float(v) for k, v in m.items()})
 
-            if epoch + 1 == cfg.epochs and is_main:
+            # Checkpoint saves run on EVERY process: Orbax save performs
+            # multihost sync barriers when process_count > 1, so gating the
+            # call to process 0 deadlocks at the first checkpoint (ADVICE
+            # r2). Orbax gates the actual disk writes to the primary host.
+            if epoch + 1 == cfg.epochs:
                 ckpt_lib.save(cfg.ckpt_path, epoch + 1,
                               jax.tree_util.tree_map(np.asarray, state))
 
@@ -162,15 +166,25 @@ def run_training(cfg: Config, startpoint: int = 0,
                 for task in cfg.test_de_type:
                     result = eval_runner.test_by_task(
                         cfg, bundle, enc_vars, dec_vars, task,
-                        epochs=epoch + 1, eval_fn=eval_fn)
+                        epochs=epoch + 1, eval_fn=eval_fn,
+                        mesh=mesh if cfg.mesh_data > 1 and not multihost
+                        else None)
                     logs.log_result(task, result)
                     psnrs.append(float(result.split(": ")[1].split("/")[0]))
                 mean_psnr = sum(psnrs) / len(psnrs) if psnrs else None
 
-            if is_main:
-                retention.maybe_save(
-                    epoch, jax.tree_util.tree_map(np.asarray, state)
-                    if multihost else state, mean_psnr)
+            if multihost and epoch >= cfg.epochs_encoder:
+                # eval ran on process 0 only; broadcast its PSNR so every
+                # process takes the same best-checkpoint branch (the save
+                # inside is a collective — see above)
+                from jax.experimental import multihost_utils
+                v = float(multihost_utils.broadcast_one_to_all(
+                    np.float32(np.nan if mean_psnr is None else mean_psnr)))
+                mean_psnr = None if np.isnan(v) else v
+
+            retention.maybe_save(
+                epoch, jax.tree_util.tree_map(np.asarray, state)
+                if multihost else state, mean_psnr)
 
     if logs is not None:
         logs.close()

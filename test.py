@@ -31,12 +31,20 @@ def main(cfg):
 
     enc_vars, dec_vars = eval_variables(state)
     eval_fn = eval_runner.make_eval_fn(bundle)
+    # spatial-tiling parallelism (SURVEY §2.4): with --mesh_data/--mesh_task
+    # > 1 the pooled tile batch is sharded over the device mesh — tiles are
+    # independent, so eval scales across chips with zero halo exchange
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_task > 1:
+        from frequency_wised_all_in_one_image_restoration_model_tpu.parallel import (
+            mesh as mesh_lib)
+        mesh = mesh_lib.make_mesh(cfg.mesh_data, cfg.mesh_task)
     rows = []
     for task in cfg.test_de_type:
         print("starting testing %s..." % task)
         result = eval_runner.test_by_task(cfg, bundle, enc_vars, dec_vars,
                                           task, epochs=cfg.epochs,
-                                          eval_fn=eval_fn)
+                                          eval_fn=eval_fn, mesh=mesh)
         print(result.replace("PSNR/SSIM", "PSNR/SSIM"))
         rows.append((task, result))
     path = write_epoch_results_log(cfg, cfg.epochs, rows)

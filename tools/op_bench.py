@@ -158,6 +158,39 @@ def bench_block():
               flush=True)
 
 
+def bench_dcn():
+    """Pallas gather-free DCN kernel vs the exact gather composite, at the
+    DGRN shape (B=8 x 128^2 x 64ch) — and a real-chip equality check on
+    clamped offsets (the kernel's defining property)."""
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops.deform_conv import (
+        _exact_dcn, _dcn_fast)
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    Bd, H, W, C = 8, 128, 128, 64
+    x = (mk(Bd, H, W, C) * 0.3).astype(jnp.bfloat16)
+    off = mk(Bd, H, W, 18) * 1.5
+    mask = jax.nn.sigmoid(mk(Bd, H, W, 9))
+    w = mk(3, 3, C, C) * 0.1
+    b = mk(C) * 0.1
+
+    # correctness on-chip: kernel == composite on clamped offsets
+    off_c = jnp.clip(off, -2.0, 2.0)
+    got = np.asarray(_dcn_fast(x, off, mask, w, b, 2, 1, 1),
+                     dtype=np.float32)
+    ref = np.asarray(_exact_dcn(x.astype(jnp.float32), off_c, mask, w, b),
+                     dtype=np.float32)
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    print(f"DCN on-chip rel err vs clamped composite: {err:.2e}", flush=True)
+
+    tk = timer(lambda x: _dcn_fast(x, off, mask, w, b, 2, 1, 1)
+               .astype(x.dtype), (x,))
+    tc = timer(lambda x: _exact_dcn(x, off, mask, w, b).astype(x.dtype),
+               (x,))
+    print(f"DCN B={Bd} {H}x{W}x{C}: kernel {tk*1e3:7.2f} ms  "
+          f"composite {tc*1e3:7.2f} ms  speedup {tc/tk:5.2f}x", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("leff", "all"):
@@ -168,3 +201,5 @@ if __name__ == "__main__":
         bench_intra()
     if which in ("block",):
         bench_block()
+    if which in ("dcn",):
+        bench_dcn()
