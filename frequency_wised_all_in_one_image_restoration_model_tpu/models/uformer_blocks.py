@@ -137,6 +137,17 @@ class LinearProjection(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def use_fused_block() -> bool:
+    """Whole-LeWin-block fusion (ops/pallas/lewin_block.py): on for TPU
+    backends, overridable via FAIRM_FUSED_BLOCK=0/1."""
+    import os
+
+    flag = os.environ.get("FAIRM_FUSED_BLOCK")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
 def use_fused_attention() -> bool:
     """Fused Pallas window attention: on for TPU backends, overridable via
     FAIRM_FUSED_ATTENTION=0/1."""
@@ -517,6 +528,100 @@ class _DwConvParams(nn.Module):
                        (self.kernel, self.kernel, 1, self.ch), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.ch,), jnp.float32)
         return k, b
+
+
+class _LNParams(nn.Module):
+    """Parameter twin of ``nn.LayerNorm`` (scale ones, bias zeros)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,),
+                       jnp.float32)
+        return s, b
+
+
+class _QkvParams(nn.Module):
+    """Parameter twin of :class:`LinearProjection` (self-attention form):
+    to_q ``[C, C]`` and to_kv ``[C, 2C]`` Denses, returned pre-reshaped to
+    the fused kernel's per-head ``[h, C, d]`` layout."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self):
+        c, h = self.dim, self.heads
+        d = c // h
+        wq, bq = _DenseParams(c, c, name="to_q")()
+        wkv, bkv = _DenseParams(c, 2 * c, name="to_kv")()
+        per_head = lambda w: w.reshape(c, h, d).transpose(1, 0, 2)
+        wk, wv = wkv[:, :c], wkv[:, c:]
+        bk, bv = bkv[:c], bkv[c:]
+        return (per_head(wq), bq.reshape(h, d),
+                per_head(wk), bk.reshape(h, d),
+                per_head(wv), bv.reshape(h, d))
+
+
+class _FusedAttnParams(nn.Module):
+    """Parameter twin of :class:`WindowAttention` for the fused-block path
+    (origin MSA, linear projection, optional all_DC). Creates the SAME
+    parameter tree under the same names, runs the (cheap, per-image)
+    embed_lamb MLP outside the kernel, and returns kernel-ready weights."""
+
+    dim: int
+    win_size: int
+    num_heads: int
+    all_bands_dc: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, all_inter=None):
+        h = self.num_heads
+        d = self.dim // h
+        wq3, bq3, wk3, bk3, wv3, bv3 = _QkvParams(
+            self.dim, h, name="qkv")()
+        table = self.param("relative_position_bias_table",
+                           trunc_normal_init,
+                           ((2 * self.win_size - 1) ** 2, h), jnp.float32)
+        bias = windows.gather_relative_bias(table, self.win_size,
+                                            self.win_size)
+        lam = None
+        if self.all_bands_dc:
+            # band_gain(1) verbatim (decoder_Uformer.py:279-288; the
+            # WindowAttention all_DC fast path above)
+            g = nn.LayerNorm(dtype=jnp.float32, name="lamb_norm_1")(
+                all_inter[1].astype(jnp.float32))
+            g = nn.Dense(h, kernel_init=trunc_normal_init,
+                         dtype=self.dtype, name="lamb_head_1")(g)
+            g = jnp.mean(g, axis=1, keepdims=True)
+            g = nn.Dense(h, kernel_init=trunc_normal_init,
+                         dtype=self.dtype, name="lamb_mlp_1_0")(g)
+            g = leaky_relu(g)
+            g = nn.Dense(h, kernel_init=trunc_normal_init,
+                         dtype=self.dtype, name="lamb_mlp_1_1")(g)
+            lam = g.reshape(-1, h)                    # [B, h]
+        wp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+        wp3 = wp.reshape(h, d, self.dim)
+        return (wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias), lam
+
+
+class _FusedLeFFParams(nn.Module):
+    """Parameter twin of :class:`LeFF` (plain variant) for the fused-block
+    FFN kernel."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.hidden, name="linear1")()
+        wd, bd = _DwConvParams(self.hidden, name="dwconv")()
+        w2, b2 = _DenseParams(self.hidden, self.dim, name="linear2")()
+        return w1, b1, wd[:, :, 0, :], bd, w2, b2
 
 
 class LeFF(nn.Module):

@@ -34,7 +34,9 @@ from flax import linen as nn
 from ..ops import windows as win_ops
 from .layers import DropPath, Mlp, leaky_relu, to_image, to_tokens
 from .uformer_blocks import (Downsample, FrequencyWindowAttention, LeFF,
-                             SelfModulatedLayerNorm, WindowAttention)
+                             SelfModulatedLayerNorm, WindowAttention,
+                             _FusedAttnParams, _FusedLeFFParams, _LNParams,
+                             use_fused_block)
 
 
 class LeWinBlock(nn.Module):
@@ -77,6 +79,51 @@ class LeWinBlock(nn.Module):
         attn_mask = None
         if shift > 0:
             attn_mask = jnp.asarray(win_ops.shift_attn_mask(res, res, win, shift))
+
+        # ---- fused whole-block path (ops/pallas/lewin_block.py) ---------
+        # Covers the plain origin-MSA block and the all_DC decoder block —
+        # the flagship decoder configuration. Parameter tree is identical
+        # to the unfused path (twin modules), so checkpoints/transplants
+        # are path-independent (tests/test_uformer.py fused-parity).
+        fused_ok = (
+            use_fused_block()
+            and self.msa_type == "origin"
+            and self.token_projection == "linear"
+            and self.token_mlp not in ("ffn", "mlp")
+            and not self.modulator
+            and not self.need_kv
+            and not self.injection  # all_DC arrives via all_bands_*, not
+                                    # per-scale injection
+            and self.lamb_bands_num is None
+            and (self.all_bands_num is None or self.all_bands_dc)
+            and not self.is_mutable_collection("intermediates")
+            and (deterministic or self.drop_path == 0.0))
+        if fused_ok:
+            from ..ops.pallas.lewin_block import (fused_block_attention,
+                                                  fused_block_ffn)
+
+            n1s, n1b = _LNParams(self.dim, name="norm1")()
+            (wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias), lam = \
+                _FusedAttnParams(
+                    self.dim, win, self.num_heads,
+                    all_bands_dc=(self.all_bands_num is not None
+                                  and self.all_bands_dc),
+                    dtype=self.dtype, name="attn")(all_inter)
+            img = to_image(x.astype(self.dtype), res, res)
+            if shift > 0:
+                img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+            y = fused_block_attention(img, n1s, n1b, wq3, bq3, wk3, bk3,
+                                      wv3, bv3, wp3, bp, bias, attn_mask,
+                                      lam, win)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+
+            n2s, n2b = _LNParams(self.dim, name="norm2")()
+            hidden = int(self.dim * self.mlp_ratio)
+            w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
+                self.dim, hidden, name="mlp")()
+            y = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
+            return to_tokens(y), None
 
         shortcut = x
 

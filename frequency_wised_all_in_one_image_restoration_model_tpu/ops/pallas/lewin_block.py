@@ -1,0 +1,496 @@
+"""Whole-LeWin-block Pallas kernels: the two fused halves of a (S)W-MSA +
+LeFF transformer block (reference encoder_Uformer.py:515-682 /
+decoder_Uformer.py:504-756).
+
+Motivation (measured on v5e, VALIDATION.md r2): with the window-attention
+kernel alone, ~64% of the flagship eval forward sits OUTSIDE attention —
+in the LN/qkv/window-pack/proj/residual/LeFF chain whose ops each
+round-trip HBM and whose pallas-call boundaries break XLA's elementwise
+fusion. These kernels stream a row-tile of the image through VMEM once
+per block half:
+
+* :func:`fused_block_attention` — LN1 -> q/kv linear -> window partition
+  -> packed multi-head window attention (relative-position bias + SW-MSA
+  shift mask + the all_DC rank-1 modulation) -> output proj -> residual.
+  One HBM read of x, one write of x + attn(LN(x)).
+* :func:`fused_block_ffn` — LN2 -> LeFF (linear C->hid, gelu, 3x3
+  depthwise conv, gelu, linear hid->C) -> residual, with the conv's 1-row
+  halo via three pipelined BlockSpecs (the ops/pallas/leff.py pattern,
+  which this kernel subsumes — LN+residual now live INSIDE, fixing the
+  fusion-boundary loss that made the standalone LeFF kernel a net ~8%
+  e2e regression).
+
+Window packing (P windows per 128-row MXU tile, cross-window logits
+killed by -1e9) matches ops/pallas/window_attention.py. Per-head weight
+slices arrive pre-reshaped to ``[h, C, d]`` so head selection is a
+leading-dim index, never a lane slice. The SW-MSA cyclic shift happens
+OUTSIDE (jnp.roll on the image): LN, attention and the residual all
+commute with the spatial permutation, so the kernel consumes the rolled
+image and the caller rolls the sum back.
+
+Both entries carry custom VJPs whose backward recomputes the unfused XLA
+composite (correct gradients; forward-dominated eval plus residual-free
+HBM in training recompute), so the fused blocks are usable in training.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _win_pack(x, T, W, win, C):
+    """[T, W, C] row-tile -> [nw*win*win, C] window-major tokens."""
+    nw = W // win
+    return (x.reshape(T // win, win, nw, win, C)
+             .transpose(0, 2, 1, 3, 4)
+             .reshape(-1, C))
+
+
+def _win_unpack(y, T, W, win, C):
+    nw = W // win
+    return (y.reshape(T // win, nw, win, win, C)
+             .transpose(0, 2, 1, 3, 4)
+             .reshape(T, W, C))
+
+
+def _attn_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                 wv_ref, bv_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+                 lam_ref, out_ref, *, T: int, W: int, C: int, h: int,
+                 win: int, P: int, eps: float, has_mask: bool,
+                 has_lam: bool, dtype):
+    n = win * win
+    nw_tile = (T // win) * (W // win)
+    M = nw_tile * n
+    G = nw_tile // P
+    d = C // h
+    scale = d ** -0.5
+
+    x = x_ref[0]                                     # [T, W, C]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = xn * lns_ref[0] + lnb_ref[0]
+
+    xw = _win_pack(xn.astype(dtype), T, W, win, C)   # [M, C]
+    acc = _win_pack(xf, T, W, win, C)                # residual, fp32
+
+    for hh in range(h):
+        q = jax.lax.dot_general(
+            xw, wq_ref[hh], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bq_ref[0, hh]
+        k = jax.lax.dot_general(
+            xw, wk_ref[hh], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bk_ref[0, hh]
+        v = jax.lax.dot_general(
+            xw, wv_ref[hh], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bv_ref[0, hh]
+        q = q.astype(dtype)
+        k = k.astype(dtype)
+        v = v.astype(dtype)
+
+        if has_lam:
+            lam = lam_ref[0, 0, hh]                  # per-image scalar
+
+        outs = []
+        for g in range(G):
+            s = slice(g * P * n, (g + 1) * P * n)
+            logits = jax.lax.dot_general(
+                q[s], k[s], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = logits + bias_ref[hh]
+            if has_mask:
+                logits = logits + mask_ref[0, g]
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            og = jax.lax.dot_general(
+                p.astype(dtype), v[s],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [P*n, d] fp32
+            if has_lam:
+                # all_DC rank-1 modulation (models/uformer_blocks.py:293):
+                # out' = (1+lam)*out - (lam/n) * sum_m v[m]
+                vs = jnp.sum(v[s].astype(jnp.float32).reshape(P, n, d),
+                             axis=1)                 # [P, d]
+                og = ((1.0 + lam) * og.reshape(P, n, d)
+                      - (lam / n) * vs[:, None, :]).reshape(P * n, d)
+            outs.append(og)
+        out_h = jnp.concatenate(outs, axis=0)        # [M, d] fp32
+        acc = acc + jax.lax.dot_general(
+            out_h.astype(dtype), wp_ref[hh],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = acc + bp_ref[0]
+    out_ref[0] = _win_unpack(acc, T, W, win, C).astype(out_ref.dtype)
+
+
+def _pack_bias_np(P: int, n: int) -> np.ndarray:
+    row_win = np.arange(P * n)[:, None] // n
+    col_win = np.arange(P * n)[None, :] // n
+    return np.where(row_win == col_win, 0.0, -1e9).astype(np.float32)
+
+
+def _choose_t(H: int, W: int, win: int, C: int, h: int, itemsize: int) -> int:
+    """Rows per tile: multiples of win; grow while the packed fp32 token
+    copies (~6 of [M, C] across LN/residual/per-head temporaries) stay
+    under ~6 MB of kernel stack."""
+    t = win
+    while (t * 2 <= H and H % (t * 2) == 0
+           and 6 * (t * 2) * W * C * 4 <= (6 << 20)):
+        t *= 2
+    return t
+
+
+def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+                  bias, mask, lam, win: int, eps: float, interpret):
+    if interpret is None:  # auto: interpret off-TPU so CPU tests run it
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x_img.shape
+    h = wq3.shape[0]
+    n = win * win
+    nw_row = W // win
+    P = max(1, min(128 // n, nw_row))
+    while nw_row % P != 0:
+        P -= 1
+    T = _choose_t(H, W, win, C, h, x_img.dtype.itemsize)
+    nw_tile = (T // win) * nw_row
+    G = nw_tile // P
+    nI = H // T
+
+    has_mask = mask is not None
+    has_lam = lam is not None
+
+    # bias: [h, n, n] -> packed [h, P*n, P*n] (diag blocks + -1e9 cross)
+    bias_p = (jnp.tile(bias.astype(jnp.float32), (1, P, P))
+              + jnp.asarray(_pack_bias_np(P, n))[None])
+
+    if has_mask:
+        # mask: [nW, n, n] per window position, window-row-major. Group
+        # into per-tile packed blocks [nI, G, P*n, P*n] (diagonal blocks;
+        # cross-window blocks already -1e9 from the bias packing).
+        nW = mask.shape[0]
+        assert nW == (H // win) * nw_row
+        m = mask.astype(jnp.float32).reshape(nI, G, P, n, n)
+        mp = jnp.zeros((nI, G, P * n, P * n), jnp.float32)
+        for p_ in range(P):
+            mp = mp.at[:, :, p_ * n:(p_ + 1) * n,
+                       p_ * n:(p_ + 1) * n].set(m[:, :, p_])
+        mask_arr = mp
+        mask_spec = pl.BlockSpec((1, G, P * n, P * n),
+                                 lambda b, i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_arr = jnp.zeros((1, 1, P * n, P * n), jnp.float32)
+        mask_spec = pl.BlockSpec((1, 1, P * n, P * n),
+                                 lambda b, i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    if has_lam:
+        # [B, 1, h]: the leading batch dim is indexed by the grid; the
+        # trailing (1, h) block equals the array dims (Mosaic requires
+        # last-two block dims divisible by (8, 128) or full)
+        lam_arr = lam.astype(jnp.float32).reshape(B, 1, h)
+        lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        lam_arr = jnp.zeros((1, 1, h), jnp.float32)
+        lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _attn_kernel, T=T, W=W, C=C, h=h, win=win, P=P, eps=eps,
+        has_mask=has_mask, has_lam=has_lam, dtype=x_img.dtype)
+    d = C // h
+    vspec = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nI),
+        in_specs=[
+            pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vspec(1, C), vspec(1, C),                          # ln
+            vspec(h, C, d), vspec(1, h, d),                    # q
+            vspec(h, C, d), vspec(1, h, d),                    # k
+            vspec(h, C, d), vspec(1, h, d),                    # v
+            vspec(h, d, C), vspec(1, C),                       # proj
+            vspec(h, P * n, P * n),                            # bias
+            mask_spec, lam_spec,
+        ],
+        out_specs=pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x_img.dtype),
+        interpret=interpret,
+    )(x_img, lns.reshape(1, C), lnb.reshape(1, C),
+      wq3, bq3.reshape(1, h, d), wk3, bk3.reshape(1, h, d),
+      wv3, bv3.reshape(1, h, d), wp3, bp.reshape(1, C),
+      bias_p, mask_arr, lam_arr)
+
+
+def _xla_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
+                         wp3, bp, bias, mask, lam, win, eps):
+    """Unfused reference composite (backward recompute + parity tests).
+    Mirrors models/uformer_blocks.py attention_core + the all_DC fast
+    path + LeWinBlock's LN1/partition/residual, on a pre-rolled image."""
+    B, H, W, C = x_img.shape
+    h = wq3.shape[0]
+    d = C // h
+    n = win * win
+    scale = d ** -0.5
+    dtype = x_img.dtype
+
+    xf = x_img.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns + lnb).astype(dtype)
+
+    nwr, nwc = H // win, W // win
+    xw = (xn.reshape(B, nwr, win, nwc, win, C)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(B * nwr * nwc, n, C))
+    q = jnp.einsum("mnc,hcd->mhnd", xw, wq3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bq3[None, :, None]
+    k = jnp.einsum("mnc,hcd->mhnd", xw, wk3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bk3[None, :, None]
+    v = jnp.einsum("mnc,hcd->mhnd", xw, wv3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bv3[None, :, None]
+    q, k, v = (t.astype(dtype) for t in (q, k, v))
+
+    logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        nW = mask.shape[0]
+        m = mask.astype(jnp.float32)
+        logits = (logits.reshape(B, nW, h, n, n) + m[None, :, None]
+                  ).reshape(B * nW, h, n, n)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    if lam is not None:
+        lam_w = jnp.repeat(lam.astype(jnp.float32)[:, None], nwr * nwc,
+                           axis=1).reshape(-1, h)    # [B*nW, h]
+        vs = jnp.sum(v.astype(jnp.float32), axis=2)  # [B*nW, h, d]
+        out = ((1.0 + lam_w)[:, :, None, None] * out
+               - (lam_w / n)[:, :, None, None] * vs[:, :, None, :])
+    proj = jnp.einsum("mhnd,hdc->mnc", out.astype(dtype),
+                      wp3.astype(dtype),
+                      preferred_element_type=jnp.float32) + bp
+    y = (proj.reshape(B, nwr, nwc, win, win, C)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C))
+    return (xf + y).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
+def fused_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
+                          wp3, bp, bias, mask, lam, win: int = 8,
+                          eps: float = 1e-6, interpret=None):
+    """``x + proj(win_attn(LN(x)))`` fused in VMEM, on a (pre-rolled)
+    image.
+
+    Args:
+      x_img: ``[B, H, W, C]`` pre-LN tokens in image layout (already
+        cyclically rolled when shift > 0 — the caller rolls back).
+      lns, lnb: ``[C]`` LayerNorm scale/bias (eps via ``eps``).
+      wq3/wk3/wv3: ``[h, C, d]`` per-head projection weights; bq3/bk3/bv3
+        ``[h, d]``.
+      wp3: ``[h, d, C]`` per-head output-projection slices; bp ``[C]``.
+      bias: ``[h, n, n]`` relative-position bias.
+      mask: ``[nW, n, n]`` additive SW-MSA mask (window-row-major over the
+        image) or None.
+      lam: ``[B, h]`` all_DC per-head gain or None.
+    Returns ``[B, H, W, C]`` in x's dtype.
+    """
+    return _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
+                         wp3, bp, bias, mask, lam, win, eps, interpret)
+
+
+def _attn_fwd(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+              bias, mask, lam, win, eps, interpret):
+    out = fused_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3,
+                                bv3, wp3, bp, bias, mask, lam, win, eps,
+                                interpret)
+    return out, (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+                 bias, mask, lam)
+
+
+def _attn_bwd(win, eps, interpret, res, g):
+    (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias, mask,
+     lam) = res
+    diff = (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    if lam is None:
+        _, vjp = jax.vjp(
+            lambda *a: _xla_block_attention(*a, mask, None, win, eps),
+            *diff)
+        return vjp(g) + (dmask, None)
+    _, vjp = jax.vjp(
+        lambda *a: _xla_block_attention(*a[:12], mask, a[12], win, eps),
+        *(diff + (lam,)))
+    grads = vjp(g)
+    return grads[:12] + (dmask, grads[12])
+
+
+fused_block_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# FFN half: LN2 -> LeFF -> residual
+# ---------------------------------------------------------------------------
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _ffn_kernel(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref, w1_ref,
+                b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, out_ref, *,
+                T: int, W: int, C: int, Hd: int, eps: float, dtype):
+    i = pl.program_id(1)
+
+    x = jnp.concatenate(
+        [prev_ref[0, T - 1:T], cur_ref[0], next_ref[0, 0:1]], axis=0)
+    xf = x.astype(jnp.float32)                       # [T+2, W, C]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * lns_ref[0] + lnb_ref[0]).astype(dtype)
+
+    hdn = jax.lax.dot_general(
+        xn.reshape((T + 2) * W, C), w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hdn = _gelu(hdn + b1_ref[...]).reshape(T + 2, W, Hd)
+
+    # zero the hidden halo rows at the image boundary (conv zero padding;
+    # the clamped halo blocks otherwise carry duplicate rows)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T + 2, 1, 1), 0)
+    top = jnp.logical_and(i == 0, rows == 0)
+    bot = jnp.logical_and(i == pl.num_programs(1) - 1, rows == T + 1)
+    hdn = jnp.where(jnp.logical_or(top, bot), 0.0, hdn)
+
+    zcol = jnp.zeros((T + 2, 1, Hd), jnp.float32)
+    hp = jnp.concatenate([zcol, hdn, zcol], axis=1)  # [T+2, W+2, Hd]
+    acc = jnp.zeros((T, W, Hd), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = wd_ref[dy, dx][None, None, :]
+            acc = acc + hp[dy:dy + T, dx:dx + W] * tap
+    acc = _gelu(acc + bd_ref[...])
+
+    y = jax.lax.dot_general(
+        acc.reshape(T * W, Hd).astype(dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + b2_ref[...] + cur_ref[0].astype(jnp.float32).reshape(T * W, C)
+    out_ref[...] = y.reshape(1, T, W, C).astype(out_ref.dtype)
+
+
+def _ffn_choose_t(H: int, W: int, Hd: int) -> int:
+    budget = 4 << 20
+    t = H
+    while t > 1 and 3 * (t + 2) * (W + 2) * Hd * 4 > budget:
+        for dd in range(t // 2, 0, -1):
+            if H % dd == 0:
+                t = dd
+                break
+        else:
+            t = 1
+    return t
+
+
+def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
+                 interpret):
+    if interpret is None:  # auto: interpret off-TPU so CPU tests run it
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x_img.shape
+    Hd = w1.shape[1]
+    T = _ffn_choose_t(H, W, Hd)
+    nI = H // T
+    dtype = x_img.dtype
+    w1 = w1.astype(dtype)
+    w2 = w2.astype(dtype)
+    b1, bd, b2 = (t.astype(jnp.float32) for t in (b1, bd, b2))
+    wd = wd.astype(jnp.float32)
+
+    kernel = functools.partial(_ffn_kernel, T=T, W=W, C=C, Hd=Hd, eps=eps,
+                               dtype=dtype)
+    vspec = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    xspec = lambda imap: pl.BlockSpec((1, T, W, C), imap,
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nI),
+        in_specs=[
+            xspec(lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0)),
+            xspec(lambda b, i: (b, i, 0, 0)),
+            xspec(lambda b, i: (b, jnp.minimum(i + 1, nI - 1), 0, 0)),
+            vspec(1, C), vspec(1, C),
+            vspec(C, Hd), vspec(Hd), vspec(3, 3, Hd), vspec(Hd),
+            vspec(Hd, C), vspec(C),
+        ],
+        out_specs=pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dtype),
+        interpret=interpret,
+    )(x_img, x_img, x_img, lns.reshape(1, C), lnb.reshape(1, C),
+      w1, b1, wd, bd, w2, b2)
+
+
+def _xla_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps):
+    """Unfused LN2+LeFF+residual (backward recompute + parity tests)."""
+    dtype = x_img.dtype
+    xf = x_img.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns + lnb).astype(dtype)
+    h = _gelu(jnp.einsum("bhwc,cd->bhwd", xn, w1.astype(dtype),
+                         preferred_element_type=jnp.float32) + b1)
+    h = jax.lax.conv_general_dilated(
+        h, wd[..., None, :].astype(h.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=wd.shape[-1])
+    h = _gelu(h + bd)
+    y = jnp.einsum("bhwd,dc->bhwc", h.astype(dtype), w2.astype(dtype),
+                   preferred_element_type=jnp.float32) + b2
+    return (xf + y).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2,
+                    eps: float = 1e-6, interpret=None):
+    """``x + linear2(gelu(dwconv(gelu(linear1(LN(x))))))`` fused in VMEM.
+
+    Args:
+      x_img: ``[B, H, W, C]`` post-attention tokens in image layout.
+      lns, lnb: ``[C]`` LayerNorm scale/bias.
+      w1 ``[C, Hd]``, b1 ``[Hd]``, wd ``[3, 3, Hd]`` depthwise taps,
+      bd ``[Hd]``, w2 ``[Hd, C]``, b2 ``[C]``.
+    Returns ``[B, H, W, C]`` in x's dtype.
+    """
+    return _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps,
+                        interpret)
+
+
+def _ffn_fwd(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps, interpret):
+    out = fused_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps,
+                          interpret)
+    return out, (x_img, lns, lnb, w1, b1, wd, bd, w2, b2)
+
+
+def _ffn_bwd(eps, interpret, res, g):
+    x_img, lns, lnb, w1, b1, wd, bd, w2, b2 = res
+    _, vjp = jax.vjp(lambda *a: _xla_block_ffn(*a, eps),
+                     x_img, lns, lnb, w1, b1, wd, bd, w2, b2)
+    return vjp(g)
+
+
+fused_block_ffn.defvjp(_ffn_fwd, _ffn_bwd)

@@ -1,0 +1,217 @@
+"""Fused LeWin-block kernels (ops/pallas/lewin_block.py) vs their unfused
+XLA composites, interpret mode on CPU: attention half (LN1 -> qkv ->
+packed window attention [+ shift mask, + all_DC rank-1] -> proj ->
+residual) and FFN half (LN2 -> LeFF -> residual), forward and grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frequency_wised_all_in_one_image_restoration_model_tpu.ops.pallas import (
+    lewin_block as lb)
+from frequency_wised_all_in_one_image_restoration_model_tpu.ops import (
+    windows as win_ops)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _attn_args(rng, B=2, H=16, W=16, C=16, h=2, win=8, dtype=jnp.float32):
+    d = C // h
+    n = win * win
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x = (mk(B, H, W, C) * 0.5).astype(dtype)
+    lns = 1.0 + 0.1 * mk(C)
+    lnb = 0.1 * mk(C)
+    wq3, wk3, wv3 = (mk(h, C, d) * 0.2 for _ in range(3))
+    bq3, bk3, bv3 = (mk(h, d) * 0.1 for _ in range(3))
+    wp3 = mk(h, d, C) * 0.2
+    bp = mk(C) * 0.1
+    bias = mk(h, n, n) * 0.05
+    return x, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("h", [1, 2])
+def test_attention_half_matches_composite(rng, dtype, h):
+    args = _attn_args(rng, dtype=dtype, h=h)
+    got = lb.fused_block_attention(*args, None, None, 8, 1e-6, True)
+    want = lb._xla_block_attention(*args, None, None, 8, 1e-6)
+    tol = 5e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_attention_half_shift_mask(rng):
+    # H=W=32 with win 8 -> 16 windows, shifted: real SW-MSA mask
+    args = _attn_args(rng, B=1, H=32, W=32, C=8, h=1)
+    mask = jnp.asarray(win_ops.shift_attn_mask(32, 32, 8, 4))
+    got = lb.fused_block_attention(*args, mask, None, 8, 1e-6, True)
+    want = lb._xla_block_attention(*args, mask, None, 8, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_attention_half_all_dc_lam(rng):
+    args = _attn_args(rng, B=2, H=16, W=16, C=16, h=2)
+    lam = jnp.asarray(rng.standard_normal((2, 2)).astype(np.float32)) * 0.3
+    got = lb.fused_block_attention(*args, None, lam, 8, 1e-6, True)
+    want = lb._xla_block_attention(*args, None, lam, 8, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_attention_half_grads(rng):
+    args = _attn_args(rng, B=1, H=16, W=16, C=8, h=1)
+    lam = jnp.asarray(rng.standard_normal((1, 1)).astype(np.float32)) * 0.3
+
+    def loss_fused(x, wq3, lam):
+        a = (x,) + args[1:3] + (wq3,) + args[4:]
+        return jnp.sum(lb.fused_block_attention(*a, None, lam, 8, 1e-6,
+                                                True) ** 2)
+
+    def loss_ref(x, wq3, lam):
+        a = (x,) + args[1:3] + (wq3,) + args[4:]
+        return jnp.sum(lb._xla_block_attention(*a, None, lam, 8, 1e-6) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(args[0], args[3], lam)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(args[0], args[3], lam)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def _ffn_args(rng, B=2, H=16, W=16, C=8, Hd=16, dtype=jnp.float32):
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x = (mk(B, H, W, C) * 0.5).astype(dtype)
+    lns = 1.0 + 0.1 * mk(C)
+    lnb = 0.1 * mk(C)
+    w1 = mk(C, Hd) * 0.2
+    b1 = mk(Hd) * 0.1
+    wd = mk(3, 3, Hd) * 0.2
+    bd = mk(Hd) * 0.1
+    w2 = mk(Hd, C) * 0.2
+    b2 = mk(C) * 0.1
+    return x, lns, lnb, w1, b1, wd, bd, w2, b2
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ffn_half_matches_composite(rng, dtype):
+    args = _ffn_args(rng, dtype=dtype)
+    got = lb.fused_block_ffn(*args, 1e-6, True)
+    want = lb._xla_block_ffn(*args, 1e-6)
+    tol = 5e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_ffn_half_grads(rng):
+    args = _ffn_args(rng, B=1, H=8, W=8, C=8, Hd=8)
+
+    def loss_fused(x, w1):
+        return jnp.sum(lb.fused_block_ffn(
+            x, *args[1:3], w1, *args[4:], 1e-6, True) ** 2)
+
+    def loss_ref(x, w1):
+        return jnp.sum(lb._xla_block_ffn(
+            x, *args[1:3], w1, *args[4:], 1e-6) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(args[0], args[3])
+    gr = jax.grad(loss_ref, argnums=(0, 1))(args[0], args[3])
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Integration: LeWinBlock fused path == unfused path, identical param tree
+# ---------------------------------------------------------------------------
+
+
+def _block_cfg(**kw):
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models import (
+        uformer_lewin)
+    base = dict(dim=16, input_resolution=16, num_heads=2, win_size=8,
+                shift_size=0, mlp_ratio=2.0, drop_path=0.0,
+                dtype=jnp.float32)
+    base.update(kw)
+    return uformer_lewin.LeWinBlock(**base)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_lewin_block_fused_matches_unfused(rng, monkeypatch, shift):
+    blk = _block_cfg(shift_size=shift)
+    x = jnp.asarray(rng.standard_normal((2, 256, 16)).astype(np.float32))
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "0")
+    v_unfused = blk.init({"params": jax.random.PRNGKey(0),
+                          "droppath": jax.random.PRNGKey(1)}, x)
+    out_unfused, _ = blk.apply(v_unfused, x)
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "1")
+    v_fused = blk.init({"params": jax.random.PRNGKey(0),
+                        "droppath": jax.random.PRNGKey(1)}, x)
+    # identical parameter trees (names, shapes, AND values from the same
+    # seed) — checkpoints are path-independent
+    assert jax.tree_util.tree_structure(v_fused) == \
+        jax.tree_util.tree_structure(v_unfused)
+    for a, b in zip(jax.tree_util.tree_leaves(v_fused),
+                    jax.tree_util.tree_leaves(v_unfused)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    out_fused, _ = blk.apply(v_unfused, x)
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_unfused),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lewin_block_fused_all_dc(rng, monkeypatch):
+    """all_DC decoder block: fused == unfused including the embed_lamb
+    rank-1 modulation."""
+    blk = _block_cfg(all_bands_num=2, all_bands_dc=True,
+                     encoder_embed_dim=8)
+    x = jnp.asarray(rng.standard_normal((2, 256, 16)).astype(np.float32))
+    all_inter = [jnp.asarray(rng.standard_normal((2, 64, 8))
+                             .astype(np.float32)) for _ in range(2)]
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "0")
+    v = blk.init({"params": jax.random.PRNGKey(0),
+                  "droppath": jax.random.PRNGKey(1)}, x,
+                 all_inter=all_inter)
+    out_u, _ = blk.apply(v, x, all_inter=all_inter)
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "1")
+    v_f = blk.init({"params": jax.random.PRNGKey(0),
+                    "droppath": jax.random.PRNGKey(1)}, x,
+                   all_inter=all_inter)
+    assert jax.tree_util.tree_structure(v_f) == \
+        jax.tree_util.tree_structure(v)
+    out_f, _ = blk.apply(v, x, all_inter=all_inter)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lewin_block_fused_grads_match(rng, monkeypatch):
+    blk = _block_cfg()
+    x = jnp.asarray(rng.standard_normal((1, 256, 16)).astype(np.float32))
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "0")
+    v = blk.init({"params": jax.random.PRNGKey(0),
+                  "droppath": jax.random.PRNGKey(1)}, x)
+
+    def loss(vv, x, flag):
+        monkeypatch.setenv("FAIRM_FUSED_BLOCK", flag)
+        out, _ = blk.apply(vv, x)
+        return jnp.sum(out ** 2)
+
+    g_u = jax.grad(loss)(v, x, "0")
+    g_f = jax.grad(loss)(v, x, "1")
+    for a, b in zip(jax.tree_util.tree_leaves(g_u),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
