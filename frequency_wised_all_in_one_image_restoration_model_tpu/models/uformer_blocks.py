@@ -609,6 +609,44 @@ class _FusedAttnParams(nn.Module):
         return (wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias), lam
 
 
+class _FusedFreqAttnParams(nn.Module):
+    """Parameter twin of :class:`FrequencyWindowAttention` for the fused
+    frequency-MSA path: qkv + proj weights in the kernels' per-head
+    layout plus the L x L relative-position-bias tables, returned as the
+    per-band diagonal stack (``kind='intra'``) or the assembled grouped
+    bias with the band mask folded in (``'inter'``)."""
+
+    dim: int
+    win_size: int
+    num_heads: int
+    L: int
+    kind: str
+
+    @nn.compact
+    def __call__(self):
+        h = self.num_heads
+        L = self.L
+        n = self.win_size * self.win_size
+        wq3, bq3, wk3, bk3, wv3, bv3 = _QkvParams(
+            self.dim, h, name="qkv")()
+        tables = self.param(
+            "relative_position_bias_tables", trunc_normal_init,
+            (L * L, (2 * self.win_size - 1) ** 2, h), jnp.float32)
+        idx = jnp.asarray(windows.relative_position_index(
+            self.win_size, self.win_size))
+        per_pair = tables[:, idx.reshape(-1), :].reshape(L * L, n, n, h)
+        per_pair = per_pair.transpose(0, 3, 1, 2)    # [L*L, h, n, n]
+        if self.kind == "intra":
+            bias = per_pair[np.arange(L) * (L + 1)]  # [L, h, n, n] diag
+        else:
+            bias = (per_pair.reshape(L, L, h, n, n)
+                    .transpose(2, 0, 3, 1, 4).reshape(h, L * n, L * n))
+            bias = bias + jnp.asarray(windows.band_mask(L, n, self.kind))
+        wp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+        wp3 = wp.reshape(h, self.dim // h, self.dim)
+        return wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias
+
+
 class _FusedLeFFParams(nn.Module):
     """Parameter twin of :class:`LeFF` (plain variant) for the fused-block
     FFN kernel."""

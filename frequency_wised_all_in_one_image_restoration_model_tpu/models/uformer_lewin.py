@@ -125,6 +125,47 @@ class LeWinBlock(nn.Module):
             y = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
             return to_tokens(y), None
 
+        # ---- fused frequency-MSA path (encoder flagship) ----------------
+        fused_freq_ok = (
+            use_fused_block()
+            and self.msa_type == "freq"
+            and self.token_projection == "linear"
+            and self.token_mlp not in ("ffn", "mlp")
+            and not self.modulator
+            and not self.need_kv
+            and not self.injection
+            and not self.is_mutable_collection("intermediates")
+            and (deterministic or self.drop_path == 0.0))
+        if fused_freq_ok:
+            from ..ops.pallas.lewin_block import (fused_block_ffn,
+                                                  fused_freq_inter,
+                                                  fused_freq_intra)
+            from .uformer_blocks import _FusedFreqAttnParams
+
+            n1s, n1b = _LNParams(self.dim, name="norm1")()
+            intra_p = _FusedFreqAttnParams(self.dim, win, self.num_heads,
+                                           self.L, "intra",
+                                           name="attn_intra")()
+            inter_p = _FusedFreqAttnParams(self.dim, win, self.num_heads,
+                                           self.L, "inter",
+                                           name="attn_inter")()
+            img = to_image(x.astype(self.dtype), res, res)
+            if shift > 0:
+                img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+            y1 = fused_freq_intra(img, n1s, n1b, *intra_p, attn_mask,
+                                  self.L, win)
+            y = fused_freq_inter(y1, img, *inter_p, attn_mask, self.L,
+                                 win)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+
+            n2s, n2b = _LNParams(self.dim, name="norm2")()
+            hidden = int(self.dim * self.mlp_ratio)
+            w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
+                self.dim, hidden, name="mlp")()
+            y = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
+            return to_tokens(y), None
+
         shortcut = x
 
         # norm1 (optionally self-modulated by the degradation map)

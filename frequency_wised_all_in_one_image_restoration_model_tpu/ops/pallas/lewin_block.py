@@ -59,11 +59,11 @@ def _win_unpack(y, T, W, win, C):
              .reshape(T, W, C))
 
 
-def _attn_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                 wv_ref, bv_ref, wp_ref, bp_ref, bias_ref, mask_ref,
-                 lam_ref, out_ref, *, T: int, W: int, C: int, h: int,
-                 win: int, P: int, eps: float, has_mask: bool,
-                 has_lam: bool, dtype):
+def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
+                 bp_ref, bias_ref, mask_ref, lam_ref, out_ref, *, T: int,
+                 W: int, C: int, h: int, win: int, P: int, eps: float,
+                 has_mask: bool, has_lam: bool, ln: bool, res: bool,
+                 dtype):
     n = win * win
     nw_tile = (T // win) * (W // win)
     M = nw_tile * n
@@ -73,60 +73,64 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
     x = x_ref[0]                                     # [T, W, C]
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-    xn = xn * lns_ref[0] + lnb_ref[0]
+    if ln:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * lns_ref[0] + lnb_ref[0]
+    else:
+        xn = xf
 
     xw = _win_pack(xn.astype(dtype), T, W, win, C)   # [M, C]
-    acc = _win_pack(xf, T, W, win, C)                # residual, fp32
+    if res:
+        acc = _win_pack(xf, T, W, win, C)            # residual, fp32
+    else:
+        acc = jnp.zeros((M, C), jnp.float32)
 
-    for hh in range(h):
-        q = jax.lax.dot_general(
-            xw, wq_ref[hh], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bq_ref[0, hh]
-        k = jax.lax.dot_general(
-            xw, wk_ref[hh], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bk_ref[0, hh]
-        v = jax.lax.dot_general(
-            xw, wv_ref[hh], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bv_ref[0, hh]
-        q = q.astype(dtype)
-        k = k.astype(dtype)
-        v = v.astype(dtype)
+    # ONE full-width qkv matmul [M, C] @ [C, 3C] — per-head matmuls
+    # (N = d = 56 lanes) waste >half the MXU; head q/k/v are lane slices
+    qkv = jax.lax.dot_general(
+        xw, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv = qkv.astype(dtype)                          # [M, 3C]
 
-        if has_lam:
-            lam = lam_ref[0, 0, hh]                  # per-image scalar
-
-        outs = []
-        for g in range(G):
-            s = slice(g * P * n, (g + 1) * P * n)
+    group_outs = []
+    for g in range(G):
+        s = slice(g * P * n, (g + 1) * P * n)
+        head_outs = []
+        for hh in range(h):
+            q = qkv[s, hh * d:(hh + 1) * d]
+            k = qkv[s, C + hh * d:C + (hh + 1) * d]
+            v = qkv[s, 2 * C + hh * d:2 * C + (hh + 1) * d]
             logits = jax.lax.dot_general(
-                q[s], k[s], dimension_numbers=(((1,), (1,)), ((), ())),
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            logits = logits + bias_ref[hh]
+            logits = logits + bias_ref[0, hh]
             if has_mask:
                 logits = logits + mask_ref[0, g]
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
             og = jax.lax.dot_general(
-                p.astype(dtype), v[s],
+                p.astype(dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [P*n, d] fp32
             if has_lam:
                 # all_DC rank-1 modulation (models/uformer_blocks.py:293):
                 # out' = (1+lam)*out - (lam/n) * sum_m v[m]
-                vs = jnp.sum(v[s].astype(jnp.float32).reshape(P, n, d),
+                lam = lam_ref[0, 0, hh]              # per-image scalar
+                vs = jnp.sum(v.astype(jnp.float32).reshape(P, n, d),
                              axis=1)                 # [P, d]
                 og = ((1.0 + lam) * og.reshape(P, n, d)
                       - (lam / n) * vs[:, None, :]).reshape(P * n, d)
-            outs.append(og)
-        out_h = jnp.concatenate(outs, axis=0)        # [M, d] fp32
-        acc = acc + jax.lax.dot_general(
-            out_h.astype(dtype), wp_ref[hh],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            head_outs.append(og.astype(dtype))
+        group_outs.append(jnp.concatenate(head_outs, axis=1))  # [P*n, C]
+    out_all = jnp.concatenate(group_outs, axis=0)    # [M, C]
+
+    # ONE full-width output projection [M, C] @ [C, C]
+    acc = acc + jax.lax.dot_general(
+        out_all, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     acc = acc + bp_ref[0]
     out_ref[0] = _win_unpack(acc, T, W, win, C).astype(out_ref.dtype)
@@ -141,16 +145,23 @@ def _pack_bias_np(P: int, n: int) -> np.ndarray:
 def _choose_t(H: int, W: int, win: int, C: int, h: int, itemsize: int) -> int:
     """Rows per tile: multiples of win; grow while the packed fp32 token
     copies (~6 of [M, C] across LN/residual/per-head temporaries) stay
-    under ~6 MB of kernel stack."""
+    under ~4 MB of kernel stack (measured: 6 MB put the encoder stage-0
+    intra call 388 KB over the 16 MB scoped-VMEM limit)."""
     t = win
     while (t * 2 <= H and H % (t * 2) == 0
-           and 6 * (t * 2) * W * C * 4 <= (6 << 20)):
+           and 6 * (t * 2) * W * C * 4 <= (4 << 20)):
         t *= 2
     return t
 
 
 def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
-                  bias, mask, lam, win: int, eps: float, interpret):
+                  bias, mask, lam, win: int, eps: float, interpret,
+                  ln: bool = True, res: bool = True,
+                  bias_groups: int = 1):
+    """Generalized fused attention-half forward. ``bias`` is
+    ``[bias_groups, h, n, n]`` when bias_groups > 1 (per-band tables for
+    the frequency intra attention; batch is band-major, band = b // (B //
+    bias_groups)) else ``[h, n, n]`` shared."""
     if interpret is None:  # auto: interpret off-TPU so CPU tests run it
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x_img.shape
@@ -168,9 +179,21 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     has_mask = mask is not None
     has_lam = lam is not None
 
-    # bias: [h, n, n] -> packed [h, P*n, P*n] (diag blocks + -1e9 cross)
-    bias_p = (jnp.tile(bias.astype(jnp.float32), (1, P, P))
-              + jnp.asarray(_pack_bias_np(P, n))[None])
+    # bias: [(NB,) h, n, n] -> packed [NB, h, P*n, P*n]
+    # (diag blocks + -1e9 cross-window)
+    bias_nb = bias if bias_groups > 1 else bias[None]
+    bias_p = (jnp.tile(bias_nb.astype(jnp.float32), (1, 1, P, P))
+              + jnp.asarray(_pack_bias_np(P, n))[None, None])
+    if bias_groups > 1:
+        imgs_per_band = B // bias_groups
+        bias_spec = pl.BlockSpec(
+            (1, h, P * n, P * n),
+            lambda b, i: (b // imgs_per_band, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec((1, h, P * n, P * n),
+                                 lambda b, i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
 
     if has_mask:
         # mask: [nW, n, n] per window position, window-row-major. Group
@@ -205,10 +228,22 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
         lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+    # weights in the compute dtype (the unfused nn.Dense casts too);
+    # biases/LN/bias tables stay fp32. Concatenate the per-head slices
+    # back to full-width [C, 3C] / [C, C] mats for the kernel's one-shot
+    # qkv and proj matmuls (full 128-lane N instead of N = d).
+    dt = x_img.dtype
+    d = C // h
+    wqkv = jnp.concatenate(
+        [w.transpose(1, 0, 2).reshape(C, C) for w in (wq3, wk3, wv3)],
+        axis=1).astype(dt)                               # [C, 3C]
+    bqkv = jnp.concatenate(
+        [b.reshape(C) for b in (bq3, bk3, bv3)]).reshape(1, 3 * C)
+    wp = wp3.reshape(C, C).astype(dt)
     kernel = functools.partial(
         _attn_kernel, T=T, W=W, C=C, h=h, win=win, P=P, eps=eps,
-        has_mask=has_mask, has_lam=has_lam, dtype=x_img.dtype)
-    d = C // h
+        has_mask=has_mask, has_lam=has_lam, ln=ln, res=res,
+        dtype=x_img.dtype)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -218,11 +253,9 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
             pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             vspec(1, C), vspec(1, C),                          # ln
-            vspec(h, C, d), vspec(1, h, d),                    # q
-            vspec(h, C, d), vspec(1, h, d),                    # k
-            vspec(h, C, d), vspec(1, h, d),                    # v
-            vspec(h, d, C), vspec(1, C),                       # proj
-            vspec(h, P * n, P * n),                            # bias
+            vspec(C, 3 * C), vspec(1, 3 * C),                  # qkv
+            vspec(C, C), vspec(1, C),                          # proj
+            bias_spec,
             mask_spec, lam_spec,
         ],
         out_specs=pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
@@ -230,8 +263,7 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x_img.dtype),
         interpret=interpret,
     )(x_img, lns.reshape(1, C), lnb.reshape(1, C),
-      wq3, bq3.reshape(1, h, d), wk3, bk3.reshape(1, h, d),
-      wv3, bv3.reshape(1, h, d), wp3, bp.reshape(1, C),
+      wqkv, bqkv.astype(jnp.float32), wp, bp.reshape(1, C),
       bias_p, mask_arr, lam_arr)
 
 
@@ -494,3 +526,307 @@ def _ffn_bwd(eps, interpret, res, g):
 
 
 fused_block_ffn.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-MSA halves (encoder): per-band intra + grouped cross-band inter
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+def fused_freq_intra(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                     bp, biasA, mask, L: int, win: int = 8,
+                     eps: float = 1e-6, interpret=None):
+    """Intra-band half of the frequency-MSA block:
+    ``proj(win_attn_per_band(LN(x)))`` (NO residual — the inter half adds
+    it). ``x_img: [L*B, H, W, C]`` band-major folded batch (pre-rolled);
+    ``biasA: [L, h, n, n]`` per-band diagonal relative-position tables.
+
+    Exactness: the reference computes intra attention on the grouped
+    ``(L*n)``-token window with a -100 cross-band mask
+    (encoder_Uformer.py:190-313); softmax turns -100 into e^-100 ~ 3.7e-44,
+    so the grouped form decomposes into L independent per-band attentions
+    to < 1e-40 relative error (see FrequencyWindowAttention's band-fold
+    note). This kernel computes the per-band form — 1/L the logits FLOPs.
+    """
+    return _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
+                         wp3, bp, biasA, mask, None, win, eps, interpret,
+                         ln=True, res=False, bias_groups=L)
+
+
+def _xla_freq_intra(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                    bp, biasA, mask, L, win, eps):
+    """Unfused per-band intra composite (backward recompute + tests)."""
+    LB, H, W, C = x_img.shape
+    B = LB // L
+    h = wq3.shape[0]
+    d = C // h
+    n = win * win
+    scale = d ** -0.5
+    dtype = x_img.dtype
+
+    xf = x_img.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns + lnb).astype(dtype)
+
+    nwr, nwc = H // win, W // win
+    xw = (xn.reshape(LB, nwr, win, nwc, win, C)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(LB * nwr * nwc, n, C))
+    q = jnp.einsum("mnc,hcd->mhnd", xw, wq3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bq3[None, :, None]
+    k = jnp.einsum("mnc,hcd->mhnd", xw, wk3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bk3[None, :, None]
+    v = jnp.einsum("mnc,hcd->mhnd", xw, wv3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bv3[None, :, None]
+    q, k, v = (t.astype(dtype) for t in (q, k, v))
+
+    logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    # per-band bias: window m belongs to band (m // (B*nW))
+    nW = nwr * nwc
+    logits = (logits.reshape(L, B * nW, h, n, n)
+              + biasA.astype(jnp.float32)[:, None]).reshape(-1, h, n, n)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        logits = (logits.reshape(LB, nW, h, n, n) + m[None, :, None]
+                  ).reshape(-1, h, n, n)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    proj = jnp.einsum("mhnd,hdc->mnc", out.astype(dtype),
+                      wp3.astype(dtype),
+                      preferred_element_type=jnp.float32) + bp
+    y = (proj.reshape(LB, nwr, nwc, win, win, C)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(LB, H, W, C))
+    return y.astype(dtype)
+
+
+def _freq_intra_fwd(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                    bp, biasA, mask, L, win, eps, interpret):
+    out = fused_freq_intra(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
+                           wp3, bp, biasA, mask, L, win, eps, interpret)
+    return out, (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+                 biasA, mask)
+
+
+def _freq_intra_bwd(L, win, eps, interpret, res, g):
+    (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasA,
+     mask) = res
+    diff = (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasA)
+    _, vjp = jax.vjp(
+        lambda *a: _xla_freq_intra(*a, mask, L, win, eps), *diff)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return vjp(g) + (dmask,)
+
+
+fused_freq_intra.defvjp(_freq_intra_fwd, _freq_intra_bwd)
+
+
+def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
+                       bp_ref, bias_ref, mask_ref, out_ref, *, L: int,
+                       T: int, W: int, C: int, h: int, win: int,
+                       has_mask: bool, dtype):
+    n = win * win
+    nw = (T // win) * (W // win)
+    Ln = L * n
+    d = C // h
+    scale = d ** -0.5
+
+    y = y_ref[:, 0]                                  # [L, T, W, C]
+    # window-grouped tokens: [nw, L, n, C] -> [nw*L*n, C]
+    z = jnp.stack([_win_pack(y[l].astype(dtype), T, W, win, C)
+                   for l in range(L)], axis=0)       # [L, nw*n, C]
+    z = (z.reshape(L, nw, n, C).transpose(1, 0, 2, 3)
+          .reshape(nw * Ln, C))
+
+    # full-width one-shot qkv (see _attn_kernel)
+    qkv = jax.lax.dot_general(
+        z, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv = qkv.astype(dtype)                          # [nw*Ln, 3C]
+
+    win_outs = []
+    for j in range(nw):
+        s = slice(j * Ln, (j + 1) * Ln)
+        mtile = (jnp.tile(mask_ref[0, j], (L, L)) if has_mask else None)
+        head_outs = []
+        for hh in range(h):
+            q = qkv[s, hh * d:(hh + 1) * d]
+            k = qkv[s, C + hh * d:C + (hh + 1) * d]
+            v = qkv[s, 2 * C + hh * d:2 * C + (hh + 1) * d]
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = logits + bias_ref[hh]
+            if has_mask:
+                logits = logits + mtile
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            head_outs.append(jax.lax.dot_general(
+                p.astype(dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype))
+        win_outs.append(jnp.concatenate(head_outs, axis=1))  # [Ln, C]
+    out_all = jnp.concatenate(win_outs, axis=0)      # [nw*Ln, C]
+    acc = jax.lax.dot_general(
+        out_all, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + bp_ref[0]
+
+    # back to band-major + residual
+    accb = (acc.reshape(nw, L, n, C).transpose(1, 0, 2, 3)
+               .reshape(L, nw * n, C))
+    for l in range(L):
+        out_ref[l, 0] = (_win_unpack(accb[l], T, W, win, C)
+                         + res_ref[l, 0].astype(jnp.float32)
+                         ).astype(out_ref.dtype)
+
+
+def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
+                        wp3, bp, biasB, mask, L, win, eps, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    LB, H, W, C = y_img.shape
+    B = LB // L
+    h = wq3.shape[0]
+    n = win * win
+    d = C // h
+    nw_row = W // win
+
+    # rows per tile: the per-window (L*n)^2 logits/probs pairs dominate
+    # the kernel stack; keep ~nw * 2 * (Ln)^2 * 4 under ~5 MB
+    T = win
+    while (T * 2 <= H and H % (T * 2) == 0
+           and ((T * 2) // win) * nw_row * 2 * (L * n) ** 2 * 4
+           <= (5 << 20)):
+        T *= 2
+    nI = H // T
+    nw = (T // win) * nw_row
+
+    y5 = y_img.reshape(L, B, H, W, C)
+    r5 = res_img.reshape(L, B, H, W, C)
+    has_mask = mask is not None
+    if has_mask:
+        m = mask.astype(jnp.float32).reshape(nI, nw, n, n)
+        mask_spec = pl.BlockSpec((1, nw, n, n), lambda b, i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        m = jnp.zeros((1, 1, n, n), jnp.float32)
+        mask_spec = pl.BlockSpec((1, 1, n, n), lambda b, i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    dt = y_img.dtype
+    wqkv = jnp.concatenate(
+        [w.transpose(1, 0, 2).reshape(C, C) for w in (wq3, wk3, wv3)],
+        axis=1).astype(dt)                               # [C, 3C]
+    bqkv = jnp.concatenate(
+        [b.reshape(C) for b in (bq3, bk3, bv3)]
+    ).reshape(1, 3 * C).astype(jnp.float32)
+    wp = wp3.reshape(C, C).astype(dt)
+    kernel = functools.partial(
+        _freq_inter_kernel, L=L, T=T, W=W, C=C, h=h, win=win,
+        has_mask=has_mask, dtype=y_img.dtype)
+    vspec = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((L, 1, T, W, C), lambda b, i: (0, b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nI),
+        in_specs=[
+            xspec, xspec,
+            vspec(C, 3 * C), vspec(1, 3 * C),
+            vspec(C, C), vspec(1, C),
+            vspec(h, L * n, L * n),
+            mask_spec,
+        ],
+        out_specs=pl.BlockSpec((L, 1, T, W, C),
+                               lambda b, i: (0, b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, B, H, W, C), y_img.dtype),
+        interpret=interpret,
+    )(y5, r5, wqkv, bqkv, wp, bp.reshape(1, C),
+      biasB.astype(jnp.float32), m)
+    return out.reshape(LB, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def fused_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                     bp, biasB, mask, L: int, win: int = 8,
+                     eps: float = 1e-6, interpret=None):
+    """Inter-band half of the frequency-MSA block:
+    ``res + proj(grouped_attn(y))`` where the attention runs over the
+    window-grouped ``(L*n)``-token sequence with the cross-band-only bias
+    ``biasB [h, L*n, L*n]`` (the L x L relative-position tables plus the
+    'inter' band mask, encoder_Uformer.py:259-313). ``res_img`` is the
+    block's shortcut (pre-LN1 x). Shapes as :func:`fused_freq_intra`.
+    """
+    return _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3,
+                               bv3, wp3, bp, biasB, mask, L, win, eps,
+                               interpret)
+
+
+def _xla_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                    bp, biasB, mask, L, win, eps):
+    LB, H, W, C = y_img.shape
+    B = LB // L
+    h = wq3.shape[0]
+    d = C // h
+    n = win * win
+    Ln = L * n
+    scale = d ** -0.5
+    dtype = y_img.dtype
+
+    nwr, nwc = H // win, W // win
+    nW = nwr * nwc
+    xw = (y_img.reshape(LB, nwr, win, nwc, win, C)
+               .transpose(0, 1, 3, 2, 4, 5).reshape(L, B * nW, n, C))
+    z = xw.transpose(1, 0, 2, 3).reshape(B * nW, Ln, C)
+    q = jnp.einsum("mnc,hcd->mhnd", z, wq3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bq3[None, :, None]
+    k = jnp.einsum("mnc,hcd->mhnd", z, wk3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bk3[None, :, None]
+    v = jnp.einsum("mnc,hcd->mhnd", z, wv3.astype(dtype),
+                   preferred_element_type=jnp.float32) + bv3[None, :, None]
+    q, k, v = (t.astype(dtype) for t in (q, k, v))
+    logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + biasB.astype(jnp.float32)[None]
+    if mask is not None:
+        m = jnp.tile(mask.astype(jnp.float32), (1, L, L))
+        logits = (logits.reshape(B, nW, h, Ln, Ln) + m[None, :, None]
+                  ).reshape(-1, h, Ln, Ln)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    proj = jnp.einsum("mhnd,hdc->mnc", out.astype(dtype),
+                      wp3.astype(dtype),
+                      preferred_element_type=jnp.float32) + bp
+    y = (proj.reshape(B, nW, L, n, C).transpose(2, 0, 1, 3, 4)
+             .reshape(LB, nW, n, C)
+             .reshape(LB, nwr, nwc, win, win, C)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(LB, H, W, C))
+    return (res_img.astype(jnp.float32) + y).astype(dtype)
+
+
+def _freq_inter_fwd(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                    bp, biasB, mask, L, win, eps, interpret):
+    out = fused_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
+                           wp3, bp, biasB, mask, L, win, eps, interpret)
+    return out, (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+                 biasB, mask)
+
+
+def _freq_inter_bwd(L, win, eps, interpret, res, g):
+    (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasB,
+     mask) = res
+    diff = (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasB)
+    _, vjp = jax.vjp(
+        lambda *a: _xla_freq_inter(*a, mask, L, win, eps), *diff)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return vjp(g) + (dmask,)
+
+
+fused_freq_inter.defvjp(_freq_inter_fwd, _freq_inter_bwd)

@@ -215,3 +215,116 @@ def test_lewin_block_fused_grads_match(rng, monkeypatch):
                     jax.tree_util.tree_leaves(g_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-MSA halves
+# ---------------------------------------------------------------------------
+
+
+def _freq_args(rng, L=3, B=2, H=16, W=16, C=8, h=2, win=8):
+    d = C // h
+    n = win * win
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x = mk(L * B, H, W, C) * 0.5
+    lns = 1.0 + 0.1 * mk(C)
+    lnb = 0.1 * mk(C)
+    qkv = tuple(mk(h, C, d) * 0.2 if i % 2 == 0 else mk(h, d) * 0.1
+                for i in range(6))
+    wp3 = mk(h, d, C) * 0.2
+    bp = mk(C) * 0.1
+    return x, lns, lnb, qkv, wp3, bp
+
+
+def test_freq_intra_matches_composite(rng):
+    L, h, win = 3, 2, 8
+    n = win * win
+    x, lns, lnb, qkv, wp3, bp = _freq_args(rng, L=L, h=h)
+    biasA = jnp.asarray(rng.standard_normal((L, h, n, n))
+                        .astype(np.float32)) * 0.05
+    got = lb.fused_freq_intra(x, lns, lnb, *qkv, wp3, bp, biasA, None,
+                              L, win, 1e-6, True)
+    want = lb._xla_freq_intra(x, lns, lnb, *qkv, wp3, bp, biasA, None,
+                              L, win, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_freq_inter_matches_composite(rng):
+    L, h, win = 3, 2, 8
+    n = win * win
+    x, lns, lnb, qkv, wp3, bp = _freq_args(rng, L=L, h=h)
+    res = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    biasB = jnp.asarray(rng.standard_normal((h, L * n, L * n))
+                        .astype(np.float32)) * 0.05
+    got = lb.fused_freq_inter(x, res, *qkv, wp3, bp, biasB, None,
+                              L, win, 1e-6, True)
+    want = lb._xla_freq_inter(x, res, *qkv, wp3, bp, biasB, None,
+                              L, win, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_freq_inter_shift_mask(rng):
+    L, h, win = 2, 1, 8
+    n = win * win
+    x, lns, lnb, qkv, wp3, bp = _freq_args(rng, L=L, B=1, H=32, W=32,
+                                           C=8, h=h)
+    res = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    mask = jnp.asarray(win_ops.shift_attn_mask(32, 32, 8, 4))
+    biasB = jnp.asarray(rng.standard_normal((h, L * n, L * n))
+                        .astype(np.float32)) * 0.05
+    got = lb.fused_freq_inter(x, res, *qkv, wp3, bp, biasB, mask,
+                              L, win, 1e-6, True)
+    want = lb._xla_freq_inter(x, res, *qkv, wp3, bp, biasB, mask,
+                              L, win, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_lewin_block_fused_freq_matches_unfused(rng, monkeypatch, shift):
+    """Full freq LeWinBlock: fused (per-band intra + grouped inter
+    kernels) == unfused grouped reference path, identical param tree.
+    Tolerance absorbs the e^-100 grouped-vs-per-band difference (~1e-40)
+    plus kernel fp association."""
+    blk = _block_cfg(msa_type="freq", L=3, shift_size=shift)
+    # freq blocks take band-folded batch (L*B)
+    x = jnp.asarray(rng.standard_normal((6, 256, 16)).astype(np.float32))
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "0")
+    v = blk.init({"params": jax.random.PRNGKey(0),
+                  "droppath": jax.random.PRNGKey(1)}, x)
+    out_u, _ = blk.apply(v, x)
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "1")
+    v_f = blk.init({"params": jax.random.PRNGKey(0),
+                    "droppath": jax.random.PRNGKey(1)}, x)
+    assert jax.tree_util.tree_structure(v_f) == \
+        jax.tree_util.tree_structure(v)
+    for a, b in zip(jax.tree_util.tree_leaves(v_f),
+                    jax.tree_util.tree_leaves(v)):
+        assert a.shape == b.shape
+    out_f, _ = blk.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_lewin_block_fused_freq_grads_match(rng, monkeypatch):
+    blk = _block_cfg(msa_type="freq", L=2)
+    x = jnp.asarray(rng.standard_normal((2, 256, 16)).astype(np.float32))
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "0")
+    v = blk.init({"params": jax.random.PRNGKey(0),
+                  "droppath": jax.random.PRNGKey(1)}, x)
+
+    def loss(vv, x, flag):
+        monkeypatch.setenv("FAIRM_FUSED_BLOCK", flag)
+        out, _ = blk.apply(vv, x)
+        return jnp.sum(out ** 2)
+
+    g_u = jax.grad(loss)(v, x, "0")
+    g_f = jax.grad(loss)(v, x, "1")
+    for a, b in zip(jax.tree_util.tree_leaves(g_u),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

@@ -191,6 +191,89 @@ def bench_dcn():
           f"composite {tc*1e3:7.2f} ms  speedup {tc/tk:5.2f}x", flush=True)
 
 
+
+
+def bench_blockk():
+    """Fused LeWin-block kernels at every flagship decoder/encoder stage
+    shape: ms per (attention+ffn) pair, B=8, bf16."""
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops.pallas.lewin_block import (
+        fused_block_attention, fused_block_ffn, fused_freq_inter,
+        fused_freq_intra)
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    B = 8
+
+    # decoder stages: (name, res, C, h, depth)
+    dec = [("enc0", 128, 56, 1, 2), ("enc1", 64, 112, 2, 2),
+           ("enc2", 32, 224, 4, 8), ("enc3", 16, 448, 8, 8),
+           ("conv", 8, 896, 16, 4), ("dec3", 16, 896, 16, 8),
+           ("dec2", 32, 448, 8, 8), ("dec1", 64, 224, 4, 2),
+           ("dec0", 128, 112, 2, 2)]
+    tot = 0.0
+    for name, res, C, h, depth in dec:
+        d = C // h
+        n = 64
+        x = (mk(B, res, res, C) * 0.3).astype(jnp.bfloat16)
+        lns, lnb = 1.0 + 0.1 * mk(C), 0.1 * mk(C)
+        w3 = lambda: mk(h, C, d) * 0.1
+        b2_ = lambda: mk(h, d) * 0.1
+        wp3, bp = mk(h, d, C) * 0.1, mk(C) * 0.1
+        bias = mk(h, n, n) * 0.05
+        hid = 4 * C
+        w1, b1 = mk(C, hid) * 0.1, mk(hid) * 0.1
+        wd, bd = mk(3, 3, hid) * 0.1, mk(hid) * 0.1
+        w2, b2 = mk(hid, C) * 0.1, mk(C) * 0.1
+
+        def pair(x):
+            y = fused_block_attention(x, lns, lnb, w3(), b2_(), w3(),
+                                      b2_(), w3(), b2_(), wp3, bp, bias,
+                                      None, None, 8)
+            return fused_block_ffn(y, lns, lnb, w1, b1, wd, bd, w2, b2)
+
+        t = timer(lambda x: pair(x).astype(x.dtype), (x,))
+        tot += t * depth
+        print(f"blockk {name:5s} res{res:3d} C{C:3d} h{h:2d}: "
+              f"{t*1e3:6.2f} ms/block x{depth} = {t*depth*1e3:6.1f} ms",
+              flush=True)
+    print(f"blockk decoder-equivalent total: {tot*1e3:7.1f} ms", flush=True)
+
+    # encoder freq stages: (name, res, C, h, depth), L=3
+    L = 3
+    enc = [("fenc0", 128, 28, 1, 2), ("fenc1", 64, 56, 2, 2),
+           ("fenc2", 32, 112, 4, 2), ("fenc3", 16, 224, 8, 2),
+           ("fbott", 8, 448, 16, 2)]
+    tot = 0.0
+    for name, res, C, h, depth in enc:
+        d = C // h
+        n = 64
+        x = (mk(L * B, res, res, C) * 0.3).astype(jnp.bfloat16)
+        lns, lnb = 1.0 + 0.1 * mk(C), 0.1 * mk(C)
+        w3 = lambda: mk(h, C, d) * 0.1
+        b2_ = lambda: mk(h, d) * 0.1
+        wp3, bp = mk(h, d, C) * 0.1, mk(C) * 0.1
+        biasA = mk(L, h, n, n) * 0.05
+        biasB = mk(h, L * n, L * n) * 0.05
+        hid = 4 * C
+        w1, b1 = mk(C, hid) * 0.1, mk(hid) * 0.1
+        wd, bd = mk(3, 3, hid) * 0.1, mk(hid) * 0.1
+        w2, b2 = mk(hid, C) * 0.1, mk(C) * 0.1
+
+        def pair(x):
+            y1 = fused_freq_intra(x, lns, lnb, w3(), b2_(), w3(), b2_(),
+                                  w3(), b2_(), wp3, bp, biasA, None, L, 8)
+            y = fused_freq_inter(y1, x, w3(), b2_(), w3(), b2_(), w3(),
+                                 b2_(), wp3, bp, biasB, None, L, 8)
+            return fused_block_ffn(y, lns, lnb, w1, b1, wd, bd, w2, b2)
+
+        t = timer(lambda x: pair(x).astype(x.dtype), (x,))
+        tot += t * depth
+        print(f"blockk {name:5s} res{res:3d} C{C:3d} h{h:2d}: "
+              f"{t*1e3:6.2f} ms/block x{depth} = {t*depth*1e3:6.1f} ms",
+              flush=True)
+    print(f"blockk encoder-equivalent total: {tot*1e3:7.1f} ms", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("leff", "all"):
@@ -203,3 +286,5 @@ if __name__ == "__main__":
         bench_block()
     if which in ("dcn",):
         bench_dcn()
+    if which in ("blockk",):
+        bench_blockk()
