@@ -482,23 +482,6 @@ class ECA1d(nn.Module):
         return x * y.transpose(0, 2, 1)
 
 
-def use_fused_leff() -> bool:
-    """Fused Pallas LeFF — opt-in via FAIRM_FUSED_LEFF=1.
-
-    Default OFF: measured on v5e (tools/op_bench.py `leff`, fair bf16
-    weights both sides), the kernel is ~neutral per-op (0.95-1.43x) and a
-    net ~8% LOSS end-to-end — XLA already fuses the gelu chain into the
-    matmuls well, and the pallas call breaks the LN/residual fusion around
-    it. Kept as a component: shapes with C<=32 at high res do win, and the
-    kernel is the template for deeper block-level fusion."""
-    import os
-
-    flag = os.environ.get("FAIRM_FUSED_LEFF")
-    if flag is not None:
-        return flag not in ("0", "false", "False")
-    return False
-
-
 class _DenseParams(nn.Module):
     """Parameter twin of ``nn.Dense`` (same tree: kernel/bias, same init)
     for paths that consume the weights directly (the fused LeFF kernel)."""
@@ -667,10 +650,11 @@ class LeFF(nn.Module):
     (leff.py:71-117); optional deformable-conv variant conditioned on the
     degradation map (leff.py:79-83, 103-107) and optional ECA.
 
-    On TPU with a 16-bit compute dtype the plain branch dispatches to the
-    fused Pallas kernel (ops/pallas/leff.py): the 4C hidden tensor — ~4 HBM
-    round-trips in the XLA lowering — stays in VMEM. Same parameter tree
-    (the _*Params twins), same math (gelu approximate, fp32 accumulation).
+    On TPU the plain variant is normally absorbed into the fused
+    whole-block FFN kernel (ops/pallas/lewin_block.fused_block_ffn) by
+    LeWinBlock, which streams the 4C hidden tensor through VMEM together
+    with LN2 and the residual; this module is the unfused fallback and
+    the deform/ECA path.
     """
 
     hidden: int
@@ -683,20 +667,6 @@ class LeFF(nn.Module):
     def __call__(self, x, inter=None):  # [B, N, C]
         b, n, c = x.shape
         side = int(math.isqrt(n))
-
-        if (not self.deform and use_fused_leff()
-                and jnp.dtype(self.dtype).itemsize == 2):
-            from ..ops.pallas.leff import fused_leff
-
-            w1, b1 = _DenseParams(c, self.hidden, name="linear1")()
-            wd, bd = _DwConvParams(self.hidden, name="dwconv")()
-            w2, b2 = _DenseParams(self.hidden, c, name="linear2")()
-            img = to_image(x, side, side).astype(self.dtype)
-            y = to_tokens(fused_leff(img, w1, b1, wd[:, :, 0, :], bd,
-                                     w2, b2))
-            if self.use_eca:
-                y = ECA1d(dtype=self.dtype, name="eca")(y)
-            return y
 
         y = nn.Dense(self.hidden, kernel_init=trunc_normal_init,
                      dtype=self.dtype, name="linear1")(x)

@@ -40,7 +40,8 @@ small (an unrolled 9-tap loop multiplies Mosaic's per-iteration stack
 allocations past the 16 MB budget). The fp32 output block is revisited
 across the K grid steps and accumulated in place. The row halo (R+2 rows
 each side) comes from passing x under three pipelined BlockSpecs
-(previous/current/next row block — same pattern as ops/pallas/leff.py),
+(previous/current/next row block — same halo pattern as the fused-block
+FFN kernel, ops/pallas/lewin_block.py),
 with out-of-image halo rows zeroed in-kernel to preserve zero padding.
 """
 

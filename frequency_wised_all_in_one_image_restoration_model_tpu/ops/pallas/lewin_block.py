@@ -15,10 +15,9 @@ per block half:
   One HBM read of x, one write of x + attn(LN(x)).
 * :func:`fused_block_ffn` — LN2 -> LeFF (linear C->hid, gelu, 3x3
   depthwise conv, gelu, linear hid->C) -> residual, with the conv's 1-row
-  halo via three pipelined BlockSpecs (the ops/pallas/leff.py pattern,
-  which this kernel subsumes — LN+residual now live INSIDE, fixing the
-  fusion-boundary loss that made the standalone LeFF kernel a net ~8%
-  e2e regression).
+  halo via three pipelined BlockSpecs. It subsumes the earlier standalone
+  fused-LeFF kernel (deleted) — LN+residual now live INSIDE, fixing the
+  fusion-boundary loss that made that kernel a net ~8% e2e regression.
 
 Window packing (P windows per 128-row MXU tile, cross-window logits
 killed by -1e9) matches ops/pallas/window_attention.py. Per-head weight

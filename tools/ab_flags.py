@@ -1,6 +1,6 @@
 """A/B harness: time the flagship eval chain under kernel on/off flags.
 
-Usage: python tools/ab_flags.py BAND_FOLD FUSED_LEFF FUSED_ATTENTION [batch] [iters]
+Usage: python tools/ab_flags.py BAND_FOLD FUSED_ATTENTION [batch] [iters]
 Prints one line: `flags=<...> ms_per_iter=<...> mps=<...>`.
 """
 
@@ -10,11 +10,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-fold, leff, attn = sys.argv[1], sys.argv[2], sys.argv[3]
-B = int(sys.argv[4]) if len(sys.argv) > 4 else 64
-ITERS = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+fold, attn = sys.argv[1], sys.argv[2]
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+ITERS = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 os.environ["FAIRM_BAND_FOLD"] = fold
-os.environ["FAIRM_FUSED_LEFF"] = leff
 os.environ["FAIRM_FUSED_ATTENTION"] = attn
 
 import jax
@@ -58,5 +57,5 @@ v = float(j(enc_vars, dec_vars, x))
 dt = time.perf_counter() - t0
 assert v == v
 mps = B * 128 * 128 * ITERS / dt / 1e6
-print(f"flags=fold:{fold},leff:{leff},attn:{attn} "
+print(f"flags=fold:{fold},attn:{attn} "
       f"ms_per_iter={dt / ITERS * 1e3:.1f} mps={mps:.2f}", flush=True)

@@ -4,7 +4,7 @@ model actually runs (B=64, 128x128 patches, L=3, embed 28/32).
 
 Timing: chained scan + scalar fetch (see bench.py docstring).
 
-Usage: python tools/op_bench.py [attn|leff|intra] ...
+Usage: python tools/op_bench.py [attn|intra] ...
 """
 
 from __future__ import annotations
@@ -37,32 +37,6 @@ def timer(fn, args, iters=16):
     dt = (time.perf_counter() - t0) / iters
     assert v == v
     return dt
-
-
-def bench_leff():
-    from frequency_wised_all_in_one_image_restoration_model_tpu.ops.pallas.leff import (
-        fused_leff, _xla_reference)
-
-    rng = np.random.default_rng(0)
-    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.1
-    # (H, W, C): encoder stages (emb 28) and decoder stages (emb 32)
-    shapes = [(128, 128, 28), (64, 64, 56), (32, 32, 112), (16, 16, 224),
-              (8, 8, 448),
-              (128, 128, 32), (64, 64, 64), (32, 32, 128), (16, 16, 256),
-              (8, 8, 512)]
-    for (H, W, C) in shapes:
-        Hd = 4 * C
-        x = (mk(B, H, W, C) * 5).astype(jnp.bfloat16)
-        w = (mk(C, Hd), mk(Hd), mk(3, 3, Hd), mk(Hd), mk(Hd, C), mk(C))
-        # cast matmul/conv weights to bf16 for the XLA path too — that is
-        # what nn.Dense/nn.Conv(dtype=bf16) do in the model; mixed
-        # bf16 x fp32 einsums promote the whole op (incl. the dwconv) to
-        # fp32 and make XLA look pathologically slow
-        wb = tuple(t.astype(jnp.bfloat16) if t.ndim >= 2 else t for t in w)
-        tf = timer(lambda x, *w: fused_leff(x, *w), (x,) + w)
-        tx = timer(lambda x, *w: _xla_reference(x, *w), (x,) + wb)
-        print(f"LeFF H={H:3d} C={C:3d}: fused {tf*1e3:7.2f} ms  "
-              f"xla {tx*1e3:7.2f} ms  speedup {tx/tf:5.2f}x", flush=True)
 
 
 def bench_attn():
@@ -276,8 +250,6 @@ def bench_blockk():
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which in ("leff", "all"):
-        bench_leff()
     if which in ("attn", "all"):
         bench_attn()
     if which in ("intra", "all"):
