@@ -147,16 +147,25 @@ _DEFAULT_MODEL: Optional[NiqeModel] = None
 
 
 def _default_model() -> NiqeModel:
-    """Lazily fit a stand-in pristine model from synthetic smooth images
-    (no shipped parameter file in this environment; see module docstring)."""
+    """Load the checked-in pristine model (fit by tools/fit_niqe_model.py on
+    the offline corpus: one real photograph at three scales + deterministic
+    synthetic cleans). Falls back to a lazily-fit synthetic model if the
+    parameter file is absent."""
     global _DEFAULT_MODEL
     if _DEFAULT_MODEL is None:
-        from ..data.synthetic import smooth_image
-        from ..utils.visualization import rgb2gray
-        rng = np.random.default_rng(0)
-        imgs = [rgb2gray(smooth_image(rng, 288, 288).astype(np.float64))
-                for _ in range(12)]
-        _DEFAULT_MODEL = fit_pristine_model(imgs)
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "niqe_pristine.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                _DEFAULT_MODEL = NiqeModel(z["mu"], z["cov"])
+        else:
+            from ..data.synthetic import smooth_image
+            from ..utils.visualization import rgb2gray
+            rng = np.random.default_rng(0)
+            imgs = [rgb2gray(smooth_image(rng, 288, 288).astype(np.float64))
+                    for _ in range(12)]
+            _DEFAULT_MODEL = fit_pristine_model(imgs)
     return _DEFAULT_MODEL
 
 

@@ -84,3 +84,27 @@ def test_niqe_smoke(rng):
     s_noisy = niqe.compute_niqe(noisy, model)
     assert np.isfinite(s_clean) and np.isfinite(s_noisy)
     assert s_noisy > s_clean  # heavy noise reads as less natural
+
+
+def test_niqe_checked_in_model(rng):
+    """The shipped pristine MVG (ops/niqe_pristine.npz, fit by
+    tools/fit_niqe_model.py) loads and preserves the naturalness ordering
+    on holdout images. Absolute-score parity with skvideo is descoped
+    (PARITY.md NIQE note)."""
+    import os
+
+    from frequency_wised_all_in_one_image_restoration_model_tpu.data.synthetic import smooth_image
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops import niqe
+
+    path = os.path.join(os.path.dirname(os.path.abspath(niqe.__file__)),
+                        "niqe_pristine.npz")
+    assert os.path.exists(path), "checked-in pristine model missing"
+    model = niqe._default_model()
+    assert model.mu.shape == (36,) and model.cov.shape == (36, 36)
+
+    clean = smooth_image(rng, 192, 192).astype(np.float64)
+    noisy = np.clip(clean + rng.normal(0, 60, clean.shape), 0, 255)
+    s_clean = niqe.compute_niqe(clean)       # default = checked-in model
+    s_noisy = niqe.compute_niqe(noisy)
+    assert np.isfinite(s_clean) and np.isfinite(s_noisy)
+    assert s_noisy > s_clean
