@@ -102,6 +102,21 @@ def _run(tile, tol, tmp):
         sys.path.insert(0, REF)
     try:
         from option import options as opt  # parses the argv above
+        # `option` may already be cached from an earlier import in this
+        # process (the golden-parity tests import the reference with
+        # default argv), in which case the argv above never parsed.
+        # Re-apply the rehearsal flags by mutating the shared namespace in
+        # place — every cached `net.*` module holds this same object
+        # (reference analysis scripts use the same pattern, SURVEY §5.6).
+        opt.de_type = list(TASKS)
+        opt.test_de_type = list(TASKS)
+        opt.batch_size = len(opt.de_type)
+        opt.crop_test_imgs_size = tile
+        opt.num_workers = 0
+        opt.save_imgs = False
+        opt.degradation_embedding_method = ["all_DC"]
+        opt.output_path = os.path.join(tmp, "ref_out") + "/"
+        opt.ckpt_path = opt.output_path + "ckpt/"
         from net.encoder_Uformer import UformerEncoder as TorchEncoder
         from net.decoder_Uformer import UformerDecoder as TorchDecoder
 
