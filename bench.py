@@ -32,12 +32,12 @@ import jax
 import jax.numpy as jnp
 
 
-# B=8 is the measured throughput peak on v5e (tools/ab_flags.py sweep:
-# 2.28 MP/s at B=8 vs 1.81 at B=64) — small-batch activations stay
-# VMEM-resident across fused ops instead of round-tripping HBM. More
-# iterations keep total work (and the scan-chain amortization) comparable.
-ITERS = 48
-BATCH = 8
+# Operating point re-swept after the whole-LeWin-block fusion (r3,
+# tools/perf_probe.py on v5e): 3.64 MP/s at B=32 vs 3.42 at B=8 and 3.59
+# at B=64 — with the block kernels streaming activations through VMEM the
+# throughput is nearly flat in batch, peaking at B=32.
+ITERS = 24
+BATCH = 32
 
 
 def main():
