@@ -146,9 +146,11 @@ def _choose_t(H: int, W: int, win: int, C: int, h: int, itemsize: int) -> int:
     copies (~6 of [M, C] across LN/residual/per-head temporaries) stay
     under ~4 MB of kernel stack (measured: 6 MB put the encoder stage-0
     intra call 388 KB over the 16 MB scoped-VMEM limit)."""
+    import os
+    budget = int(os.environ.get("FAIRM_ATTN_T_MB", "4")) << 20
     t = win
     while (t * 2 <= H and H % (t * 2) == 0
-           and 6 * (t * 2) * W * C * 4 <= (4 << 20)):
+           and 6 * (t * 2) * W * C * 4 <= budget):
         t *= 2
     return t
 
@@ -163,15 +165,24 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     bias_groups)) else ``[h, n, n]`` shared."""
     if interpret is None:  # auto: interpret off-TPU so CPU tests run it
         interpret = jax.default_backend() != "tpu"
+    import os
+
     B, H, W, C = x_img.shape
     h = wq3.shape[0]
     n = win * win
     nw_row = W // win
-    P = max(1, min(128 // n, nw_row))
-    while nw_row % P != 0:
-        P -= 1
     T = _choose_t(H, W, win, C, h, x_img.dtype.itemsize)
     nw_tile = (T // win) * nw_row
+    # Windows packed per logits matmul: more windows -> fewer, larger MXU
+    # ops in the serial group loop, at the cost of P^2-n^2 wasted
+    # (-1e9-masked) cross-window logits and h*(P*n)^2 fp32 of packed-bias
+    # VMEM. Bounded so the bias tile stays <=2 MB.
+    pmax = max(1, (128 * int(os.environ.get("FAIRM_ATTN_P", "1"))) // n)
+    while pmax > 1 and h * (pmax * n) ** 2 * 4 > (2 << 20):
+        pmax //= 2
+    P = max(1, min(pmax, nw_tile))
+    while nw_tile % P != 0:
+        P -= 1
     G = nw_tile // P
     nI = H // T
 
