@@ -124,6 +124,10 @@ class Config:
     process_id: int = 0
     steps_per_epoch: Optional[int] = None  # override 400*T/batch (reference dataset_utils.py:144)
     ckpt_every: int = 0              # periodic full-state checkpoints (0 = final epoch only)
+    # rematerialize each LeWin block in backward (jax.checkpoint at block
+    # granularity): trades ~1 extra forward of FLOPs for dropping all
+    # intra-stage activations — for when flagship dims/batch outgrow HBM
+    remat: bool = False
     dgrn_groups: int = 5             # DGRN depth (reference decoder_DGRN.py:117-118)
     dgrn_blocks: int = 5
 
@@ -224,6 +228,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process_id", type=int, default=0)
     p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--ckpt_every", type=int, default=0)
+    p.add_argument("--remat", action="store_true")
     p.add_argument("--dgrn_groups", type=int, default=5)
     p.add_argument("--dgrn_blocks", type=int, default=5)
     return p
@@ -296,6 +301,7 @@ def finalize(ns: argparse.Namespace) -> Config:
         process_id=ns.process_id,
         steps_per_epoch=ns.steps_per_epoch,
         ckpt_every=ns.ckpt_every,
+        remat=ns.remat,
         dgrn_groups=ns.dgrn_groups,
         dgrn_blocks=ns.dgrn_blocks,
         batch_size=batch_size,

@@ -113,7 +113,7 @@ class UformerDecoder(nn.Module):
                 drop_path=enc_dpr[lo:lo + depth],
                 all_bands_num=all_num, all_bands_dc=all_dc,
                 lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
-                encoder_embed_dim=eed, dtype=self.dtype,
+                encoder_embed_dim=eed, dtype=self.dtype, remat=cfg.remat,
                 name=f"encoderlayer_{i}")(
                     tokens, all_inter=band_inter, deterministic=det)[0]
 
@@ -130,7 +130,7 @@ class UformerDecoder(nn.Module):
             num_heads=DECODER_HEADS[4], win_size=8, drop_path=conv_dpr,
             all_bands_num=all_num, all_bands_dc=all_dc,
             lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
-            encoder_embed_dim=eed, dtype=self.dtype,
+            encoder_embed_dim=eed, dtype=self.dtype, remat=cfg.remat,
             name="bottleneck_0")(y, all_inter=band_inter, deterministic=det)
 
         def residual_embed(i, deg, conv):
@@ -151,7 +151,7 @@ class UformerDecoder(nn.Module):
             injection=per_scale, degradation_dim=eed * 16,
             all_bands_num=all_num, all_bands_dc=all_dc,
             lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
-            encoder_embed_dim=eed, dtype=self.dtype,
+            encoder_embed_dim=eed, dtype=self.dtype, remat=cfg.remat,
             name="bottleneck_1")(
                 y,
                 inter=None if pyramid is None else pyramid[4],
@@ -178,7 +178,7 @@ class UformerDecoder(nn.Module):
                 injection=per_scale, degradation_dim=eed * (2 ** s),
                 all_bands_num=all_num, all_bands_dc=all_dc,
                 lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
-                encoder_embed_dim=eed, dtype=self.dtype,
+                encoder_embed_dim=eed, dtype=self.dtype, remat=cfg.remat,
                 name=f"decoderlayer_{s}")(
                     y,
                     inter=None if pyramid is None else pyramid[s],

@@ -88,7 +88,7 @@ class UformerEncoder(nn.Module):
             return BasicUformerLayer(
                 dim=dim, input_resolution=res, depth=depth, num_heads=heads,
                 win_size=8, drop_path=dpr, msa_type=cfg.encoder_msa_type,
-                L=L, need_kv=need_kv, dtype=self.dtype,
+                L=L, need_kv=need_kv, dtype=self.dtype, remat=cfg.remat,
                 name=f"encoderlayer_{i}" if i < 4 else "bottleneck")
 
         feats, kvs = [], []

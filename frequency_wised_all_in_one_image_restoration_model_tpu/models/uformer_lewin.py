@@ -305,16 +305,22 @@ class BasicUformerLayer(nn.Module):
     lamb_bands_dc: bool = False
     encoder_embed_dim: int = 28
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, inter=None, inter_kv=None, all_inter=None,
                  deterministic: bool = True):
         kv = None
         dp = list(self.drop_path) or [0.0] * self.depth
+        # --remat: jax.checkpoint each block — backward recomputes the
+        # block forward instead of keeping intra-stage activations alive.
+        # Lifted transform, so param naming (and checkpoints) are unchanged.
+        block_cls = (nn.remat(LeWinBlock, static_argnums=(5,))
+                     if self.remat else LeWinBlock)
         for i in range(self.depth):
             shift = (self.win_size // 2
                      if (self.shift_flag and i % 2 == 1) else 0)
-            x, kv_i = LeWinBlock(
+            x, kv_i = block_cls(
                 dim=self.dim, input_resolution=self.input_resolution,
                 num_heads=self.num_heads, win_size=self.win_size,
                 shift_size=shift, mlp_ratio=self.mlp_ratio,
@@ -332,8 +338,9 @@ class BasicUformerLayer(nn.Module):
                 lamb_bands_dc=self.lamb_bands_dc,
                 encoder_embed_dim=self.encoder_embed_dim,
                 dtype=self.dtype, name=f"block{i}")(
-                    x, inter=inter, inter_kv=inter_kv, all_inter=all_inter,
-                    deterministic=deterministic)
+                    # positional: static_argnums under remat indexes
+                    # positionally (deterministic = arg 5 after self)
+                    x, inter, inter_kv, all_inter, deterministic)
             if kv_i is not None:
                 kv = kv_i
         return x, kv

@@ -51,6 +51,46 @@ def test_run_training_end_to_end(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_remat_step_matches_plain():
+    """--remat (jax.checkpoint per LeWin block) must not change the math:
+    one joint train step from identical state agrees with the plain step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.airnet import build_models
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training import steps
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training.state import create_train_state
+
+    base = config.make_config(
+        synthetic_data=True, de_type=["deraining"],
+        test_de_type=["deraining"], encoder_type="Uformer",
+        decoder_type="Uformer", encoder_embed_dim=8, embed_dim=16,
+        encoder_dim=32, L=3, encoder_msa_type="freq",
+        degradation_embedding_method=["all_DC"], patch_size=32,
+        crop_test_imgs_size=32, dtype="float32")
+
+    rng = np.random.default_rng(3)
+    mk = lambda: jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    batch = {"d1": mk(), "d2": mk(), "c1": mk(),
+             "de_id": jnp.zeros((1,), jnp.int32)}
+
+    outs = {}
+    for remat in (False, True):
+        cfg = dataclasses.replace(base, remat=remat)
+        bundle = build_models(cfg, eval_mode=False)
+        state = create_train_state(cfg, bundle, jax.random.PRNGKey(0), batch)
+        step = jax.jit(steps.make_train_step(cfg, bundle, joint=True))
+        new_state, metrics = step(state, batch)
+        outs[remat] = (float(metrics["loss"]),
+                       np.asarray(jax.tree_util.tree_leaves(new_state.params)[0]))
+
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[False][1], outs[True][1],
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_retention_policy(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--patch", type=int, default=128)
+    ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
     from frequency_wised_all_in_one_image_restoration_model_tpu import config
@@ -61,7 +62,7 @@ def main():
         degradation_embedding_method=["all_DC"],
         de_type=["4tasks"], patch_size=args.patch,
         crop_test_imgs_size=args.patch,
-        dtype="bfloat16", eval_dtype="bfloat16",
+        dtype=args.dtype, eval_dtype=args.dtype,
     )
     bundle = build_models(cfg, eval_mode=True)
     p = args.patch
