@@ -40,10 +40,40 @@ ITERS = 24
 BATCH = 32
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """Block until a backend initializes. The tunneled TPU has transient
+    outages (observed 2026-08-17: a >2 h UNAVAILABLE window); a bench run
+    that starts inside one must wait, not crash. Probes in a subprocess —
+    a failed in-process init can leave the plugin in a sticky error state.
+    Progress goes to stderr (stdout is the one-JSON-line contract)."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300)
+            ok, err = r.returncode == 0, r.stderr
+        except subprocess.TimeoutExpired:
+            ok, err = False, b"probe timed out"
+        if ok:
+            return
+        if time.time() > deadline:
+            raise RuntimeError("backend unavailable after "
+                               f"{max_wait_s:.0f} s: {err[-400:]}")
+        print("bench: backend unavailable; retrying in 60 s",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main():
     from frequency_wised_all_in_one_image_restoration_model_tpu import config
     from frequency_wised_all_in_one_image_restoration_model_tpu.models.airnet import (
         build_models, eval_forward)
+
+    _wait_for_backend()
 
     cfg = config.make_config(
         encoder_type="Uformer", decoder_type="Uformer",
