@@ -85,6 +85,36 @@ def test_attention_half_grads(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    (8, 8, 32, 16),     # conv-stage-like: 1 window, 16 heads (deep regime)
+    (16, 16, 32, 16),   # dec3-like: R spans heads AND multiple windows
+    (16, 16, 32, 8),    # mixed: shallow/deep boundary
+])
+def test_attention_vw_packing_matches_composite(rng, monkeypatch, shape):
+    """FAIRM_ATTN_VW=1 (windows+heads jointly packed) is numerically
+    identical to the composite at deep-stage-like head counts, with and
+    without the all_DC modulation."""
+    H, W, C, h = shape
+    monkeypatch.setenv("FAIRM_ATTN_VW", "1")
+    args = _attn_args(rng, B=2, H=H, W=W, C=C, h=h)
+    lam = jnp.asarray(rng.standard_normal((2, h)).astype(np.float32)) * 0.3
+    for lam_i in (None, lam):
+        got = lb.fused_block_attention(*args, None, lam_i, 8, 1e-6, True)
+        want = lb._xla_block_attention(*args, None, lam_i, 8, 1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_attention_vw_packing_shift_mask(rng, monkeypatch):
+    monkeypatch.setenv("FAIRM_ATTN_VW", "1")
+    args = _attn_args(rng, B=1, H=32, W=32, C=16, h=4)
+    mask = jnp.asarray(win_ops.shift_attn_mask(32, 32, 8, 4))
+    got = lb.fused_block_attention(*args, mask, None, 8, 1e-6, True)
+    want = lb._xla_block_attention(*args, mask, None, 8, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
 def _ffn_args(rng, B=2, H=16, W=16, C=8, Hd=16, dtype=jnp.float32):
     mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
     x = (mk(B, H, W, C) * 0.5).astype(dtype)
