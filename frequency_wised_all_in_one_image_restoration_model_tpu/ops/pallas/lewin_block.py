@@ -159,7 +159,7 @@ def _pack_bias_np(P: int, n: int) -> np.ndarray:
 
 
 def _vw_choose(nw_tile: int, h: int, n: int, has_mask: bool,
-               rows_cap: int = 512):
+               rows_cap: int = 512, bias_groups: int = 1):
     """Pick R (virtual windows per chunk). Constraints: R*n <= rows_cap;
     chunks cover whole heads or whole tiles (R | nw_tile or nw_tile | R
     with (R/nw_tile) | h); dedup'd bias patterns <= 2 MB; per-step packed
@@ -293,7 +293,7 @@ def _attn_kernel_vw(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        logits = logits + bias_ref[int(pat_idx[c])]
+        logits = logits + bias_ref[0, int(pat_idx[c])]
         if has_mask:
             logits = logits + mask_ref[0, int(grp_idx[c])]
         logits = logits - jnp.max(logits, axis=-1, keepdims=True)
@@ -383,11 +383,19 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     wp_full = wp3.reshape(C, C).astype(dt)
 
     use_vw = (os.environ.get("FAIRM_ATTN_VW", "0")
-              not in ("0", "", "false", "False") and bias_groups == 1)
+              not in ("0", "", "false", "False"))
     if use_vw:
-        R = _vw_choose(nw_tile, h, n, has_mask)
-        bias_pk, pat_idx, mask_pk, grp_idx = _vw_tables(
-            bias, mask, nw_tile, h, n, R, nI)
+        R = _vw_choose(nw_tile, h, n, has_mask,
+                       bias_groups=bias_groups)
+        # per-band pattern tables when bias is banded (freq intra): the
+        # pattern STRUCTURE (pat_idx) is band-independent, the values are
+        # not — stack [NB, n_pat, R*n, R*n] and block-slice by the grid's
+        # band (batch is band-major: band = b // (B // NB))
+        bias_nb_ = bias if bias_groups > 1 else bias[None]
+        per_band = [_vw_tables(bias_nb_[l], mask, nw_tile, h, n, R, nI)
+                    for l in range(bias_groups)]
+        bias_pk = jnp.stack([t[0] for t in per_band], axis=0)
+        pat_idx, mask_pk, grp_idx = per_band[0][1:]
         if has_mask:
             n_groups = mask_pk.shape[1]
             mask_arr = mask_pk
@@ -422,7 +430,11 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                 vspec(1, C), vspec(1, C),
                 vspec(C, 3 * C), vspec(1, 3 * C),
                 vspec(C, C), vspec(1, C),
-                vspec(*bias_pk.shape),
+                pl.BlockSpec(
+                    (1,) + tuple(bias_pk.shape[1:]),
+                    (lambda b, i: (b // (B // bias_groups), 0, 0, 0))
+                    if bias_groups > 1 else (lambda b, i: (0, 0, 0, 0)),
+                    memory_space=pltpu.VMEM),
                 mask_spec, lam_spec,
             ],
             out_specs=pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
