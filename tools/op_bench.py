@@ -199,13 +199,21 @@ def bench_blockk():
         wd, bd = mk(3, 3, hid) * 0.1, mk(hid) * 0.1
         w2, b2 = mk(hid, C) * 0.1, mk(C) * 0.1
 
-        def pair(x):
-            y = fused_block_attention(x, lns, lnb, w3(), b2_(), w3(),
-                                      b2_(), w3(), b2_(), wp3, bp, bias,
-                                      None, None, 8)
-            return fused_block_ffn(y, lns, lnb, w1, b1, wd, bd, w2, b2)
+        # weights as timer ARGS, not closures: captured arrays become HLO
+        # constants (CLAUDE.md), which is both unrepresentative of the real
+        # model (variables are jit args there) and a suspected cause of the
+        # 5x isolated-vs-e2e gap measured in r3
+        wq, bq, wk, bk, wv, bv = w3(), b2_(), w3(), b2_(), w3(), b2_()
 
-        t = timer(lambda x: pair(x).astype(x.dtype), (x,))
+        def pair(x, wq, bq, wk, bk, wv, bv, wp3, bp, bias, lns, lnb,
+                 w1, b1, wd, bd, w2, b2):
+            y = fused_block_attention(x, lns, lnb, wq, bq, wk, bk, wv, bv,
+                                      wp3, bp, bias, None, None, 8)
+            return fused_block_ffn(y, lns, lnb, w1, b1, wd, bd, w2,
+                                   b2).astype(x.dtype)
+
+        t = timer(pair, (x, wq, bq, wk, bk, wv, bv, wp3, bp, bias, lns,
+                         lnb, w1, b1, wd, bd, w2, b2))
         tot += t * depth
         print(f"blockk {name:5s} res{res:3d} C{C:3d} h{h:2d}: "
               f"{t*1e3:6.2f} ms/block x{depth} = {t*depth*1e3:6.1f} ms",
@@ -233,14 +241,19 @@ def bench_blockk():
         wd, bd = mk(3, 3, hid) * 0.1, mk(hid) * 0.1
         w2, b2 = mk(hid, C) * 0.1, mk(C) * 0.1
 
-        def pair(x):
-            y1 = fused_freq_intra(x, lns, lnb, w3(), b2_(), w3(), b2_(),
-                                  w3(), b2_(), wp3, bp, biasA, None, L, 8)
-            y = fused_freq_inter(y1, x, w3(), b2_(), w3(), b2_(), w3(),
-                                 b2_(), wp3, bp, biasB, None, L, 8)
-            return fused_block_ffn(y, lns, lnb, w1, b1, wd, bd, w2, b2)
+        wA = tuple(w3() if i % 2 == 0 else b2_() for i in range(6))
+        wB = tuple(w3() if i % 2 == 0 else b2_() for i in range(6))
 
-        t = timer(lambda x: pair(x).astype(x.dtype), (x,))
+        def pair(x, wA, wB, wp3, bp, biasA, biasB, lns, lnb, w1, b1, wd,
+                 bd, w2, b2):
+            y1 = fused_freq_intra(x, lns, lnb, *wA, wp3, bp, biasA, None,
+                                  L, 8)
+            y = fused_freq_inter(y1, x, *wB, wp3, bp, biasB, None, L, 8)
+            return fused_block_ffn(y, lns, lnb, w1, b1, wd, bd, w2,
+                                   b2).astype(x.dtype)
+
+        t = timer(pair, (x, wA, wB, wp3, bp, biasA, biasB, lns, lnb, w1,
+                         b1, wd, bd, w2, b2))
         tot += t * depth
         print(f"blockk {name:5s} res{res:3d} C{C:3d} h{h:2d}: "
               f"{t*1e3:6.2f} ms/block x{depth} = {t*depth*1e3:6.1f} ms",
