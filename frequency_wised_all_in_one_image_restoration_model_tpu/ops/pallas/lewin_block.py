@@ -35,6 +35,7 @@ HBM in training recompute), so the fused blocks are usable in training.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -159,11 +160,13 @@ def _pack_bias_np(P: int, n: int) -> np.ndarray:
 
 
 def _vw_choose(nw_tile: int, h: int, n: int, has_mask: bool,
-               rows_cap: int = 512, bias_groups: int = 1):
-    """Pick R (virtual windows per chunk). Constraints: R*n <= rows_cap;
-    chunks cover whole heads or whole tiles (R | nw_tile or nw_tile | R
-    with (R/nw_tile) | h); dedup'd bias patterns <= 2 MB; per-step packed
-    mask <= 2 MB."""
+               rows_cap: int | None = None, bias_groups: int = 1):
+    """Pick R (virtual windows per chunk). Constraints: R*n <= rows_cap
+    (default 512, ``FAIRM_ATTN_VW_ROWS``); chunks cover whole heads or
+    whole tiles (R | nw_tile or nw_tile | R with (R/nw_tile) | h);
+    dedup'd bias patterns <= 2 MB; per-step packed mask <= 2 MB."""
+    if rows_cap is None:
+        rows_cap = int(os.environ.get("FAIRM_ATTN_VW_ROWS", "512"))
     total = nw_tile * h
 
     def ok(R):

@@ -57,6 +57,21 @@ def main():
     step = jax.jit(steps_lib.make_train_step(cfg, bundle, joint=True),
                    donate_argnums=(0,))
     new_state, m = step(state, sharded)
+
+    # Checkpoint round-trip across BOTH processes (ADVICE r2: Orbax save
+    # runs sync_global_processes barriers when process_count > 1 — saving
+    # on process 0 only deadlocks; every process must call save/restore).
+    from frequency_wised_all_in_one_image_restoration_model_tpu.training import (
+        checkpoint as ckpt_lib)
+    ckpt_dir = sys.argv[3]
+    host_state = jax.tree_util.tree_map(np.asarray, new_state)
+    ckpt_lib.save(ckpt_dir, 1, host_state)
+    restored = ckpt_lib.restore(ckpt_dir, 1, host_state)
+    leaves_a = jax.tree_util.tree_leaves(host_state)
+    leaves_b = jax.tree_util.tree_leaves(restored)
+    assert all(np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_a, leaves_b))
+
     print(f"METRICS loss={float(m['loss']):.6f} "
           f"contrast={float(m['contrast_loss']):.6f} "
           f"ptr={int(new_state.moco.queue_ptr)}", flush=True)

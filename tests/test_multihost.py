@@ -23,16 +23,17 @@ def _free_port():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
-def test_two_process_step_matches_single_process():
+def test_two_process_step_matches_single_process(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "_multihost_worker.py")
     port = _free_port()
+    ckpt_dir = str(tmp_path / "ckpt")  # shared fs, as Orbax multihost expects
 
     env = dict(os.environ)
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), str(port)], cwd=root, env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        [sys.executable, worker, str(pid), str(port), ckpt_dir], cwd=root,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in range(2)]
     outs = []
     for p in procs:

@@ -280,6 +280,24 @@ def test_freq_intra_matches_composite(rng):
                                rtol=5e-5, atol=5e-5)
 
 
+def test_freq_intra_vw_packing_matches_composite(rng, monkeypatch):
+    """FAIRM_ATTN_VW=1 on the banded (per-band bias) intra path: the
+    per-band packed bias tables must select the right band per batch
+    slot (batch is band-major, band = b // (B // L))."""
+    L, h, win = 3, 4, 8
+    n = win * win
+    monkeypatch.setenv("FAIRM_ATTN_VW", "1")
+    x, lns, lnb, qkv, wp3, bp = _freq_args(rng, L=L, h=h)
+    biasA = jnp.asarray(rng.standard_normal((L, h, n, n))
+                        .astype(np.float32)) * 0.05
+    got = lb.fused_freq_intra(x, lns, lnb, *qkv, wp3, bp, biasA, None,
+                              L, win, 1e-6, True)
+    want = lb._xla_freq_intra(x, lns, lnb, *qkv, wp3, bp, biasA, None,
+                              L, win, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_freq_inter_matches_composite(rng):
     L, h, win = 3, 2, 8
     n = win * win
