@@ -173,8 +173,11 @@ def cmd_synth(a) -> int:
                 in_out = os.path.join(task_dir, "Input")
                 os.makedirs(in_out, exist_ok=True)
             for i in range(count):
-                h = 16 * rng.integers(3, 6)
-                w = 16 * rng.integers(3, 6)
+                if getattr(a, "size", None):
+                    h = w = (a.size // 16) * 16
+                else:
+                    h = 16 * rng.integers(3, 6)
+                    w = 16 * rng.integers(3, 6)
                 name = f"img{i}_x.png" if paired else f"img{i}.png"
                 if paired:
                     write(os.path.join(in_out, name), h, w)
@@ -214,6 +217,8 @@ def main(argv=None) -> int:
     syn.add_argument("--n_train", type=int, default=8)
     syn.add_argument("--n_test", type=int, default=2)
     syn.add_argument("--seed", type=int, default=0)
+    syn.add_argument("--size", type=int, default=None,
+                     help="fixed HxW (multiple of 16) instead of random 48-80")
     syn.set_defaults(fn=cmd_synth)
 
     a = p.parse_args(argv)
