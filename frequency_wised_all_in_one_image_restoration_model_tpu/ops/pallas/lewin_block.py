@@ -30,6 +30,12 @@ image and the caller rolls the sum back.
 Both entries carry custom VJPs whose backward recomputes the unfused XLA
 composite (correct gradients; forward-dominated eval plus residual-free
 HBM in training recompute), so the fused blocks are usable in training.
+By default the recompute's attention core is routed through
+:func:`ops.pallas.window_attention.fused_window_attention` — whose forward
+AND backward are fused Pallas kernels — instead of the einsum lowering
+that materializes ``[W, h, n, n]`` logits in HBM at ~1% MXU
+(``FAIRM_FUSED_BWD=0`` restores the pure-XLA backward; the LN/qkv/proj
+matmul gradients stay XLA either way, they are already MXU-shaped).
 """
 
 from __future__ import annotations
@@ -42,6 +48,22 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_fused_bwd() -> bool:
+    """Route the custom-VJP backward recompute's attention core through the
+    fused window-attention kernel (ops/pallas/window_attention.py, which has
+    a fused Pallas backward) instead of the einsum lowering that
+    materializes [W, h, n, n] logits in HBM at ~1% MXU (VALIDATION.md r2).
+    On by default; FAIRM_FUSED_BWD=0 restores the pure-XLA backward."""
+    return (os.environ.get("FAIRM_FUSED_BWD", "1")
+            not in ("0", "false", "False"))
+
+
+def _resolve_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
 
 
 def _win_pack(x, T, W, win, C):
@@ -526,10 +548,16 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
 
 
 def _xla_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
-                         wp3, bp, bias, mask, lam, win, eps):
+                         wp3, bp, bias, mask, lam, win, eps,
+                         route_kernel=False, interpret=False):
     """Unfused reference composite (backward recompute + parity tests).
     Mirrors models/uformer_blocks.py attention_core + the all_DC fast
-    path + LeWinBlock's LN1/partition/residual, on a pre-rolled image."""
+    path + LeWinBlock's LN1/partition/residual, on a pre-rolled image.
+
+    ``route_kernel=True`` (the VJP backward's default, :func:`_use_fused_bwd`)
+    swaps the einsum attention core for :func:`fused_window_attention`, whose
+    forward AND backward are fused Pallas kernels — the LN/qkv/proj matmuls
+    stay XLA (they are MXU-shaped already)."""
     B, H, W, C = x_img.shape
     h = wq3.shape[0]
     d = C // h
@@ -553,17 +581,24 @@ def _xla_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
                    preferred_element_type=jnp.float32) + bv3[None, :, None]
     q, k, v = (t.astype(dtype) for t in (q, k, v))
 
-    logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    logits = logits + bias.astype(jnp.float32)[None]
-    if mask is not None:
-        nW = mask.shape[0]
-        m = mask.astype(jnp.float32)
-        logits = (logits.reshape(B, nW, h, n, n) + m[None, :, None]
-                  ).reshape(B * nW, h, n, n)
-    p = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
-                     preferred_element_type=jnp.float32)
+    if route_kernel:
+        from .window_attention import fused_window_attention
+
+        out = fused_window_attention(
+            q, k, v, bias.astype(jnp.float32), mask, scale, nwr * nwc,
+            interpret).astype(jnp.float32)
+    else:
+        logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias.astype(jnp.float32)[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            m = mask.astype(jnp.float32)
+            logits = (logits.reshape(B, nW, h, n, n) + m[None, :, None]
+                      ).reshape(B * nW, h, n, n)
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
+                         preferred_element_type=jnp.float32)
     if lam is not None:
         lam_w = jnp.repeat(lam.astype(jnp.float32)[:, None], nwr * nwc,
                            axis=1).reshape(-1, h)    # [B*nW, h]
@@ -614,15 +649,19 @@ def _attn_fwd(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
 def _attn_bwd(win, eps, interpret, res, g):
     (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias, mask,
      lam) = res
+    rk = _use_fused_bwd()
+    itp = _resolve_interpret(interpret)
     diff = (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias)
     dmask = None if mask is None else jnp.zeros_like(mask)
     if lam is None:
         _, vjp = jax.vjp(
-            lambda *a: _xla_block_attention(*a, mask, None, win, eps),
+            lambda *a: _xla_block_attention(*a, mask, None, win, eps,
+                                            route_kernel=rk, interpret=itp),
             *diff)
         return vjp(g) + (dmask, None)
     _, vjp = jax.vjp(
-        lambda *a: _xla_block_attention(*a[:12], mask, a[12], win, eps),
+        lambda *a: _xla_block_attention(*a[:12], mask, a[12], win, eps,
+                                        route_kernel=rk, interpret=itp),
         *(diff + (lam,)))
     grads = vjp(g)
     return grads[:12] + (dmask, grads[12])
@@ -813,8 +852,11 @@ def fused_freq_intra(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
 
 
 def _xla_freq_intra(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
-                    bp, biasA, mask, L, win, eps):
-    """Unfused per-band intra composite (backward recompute + tests)."""
+                    bp, biasA, mask, L, win, eps,
+                    route_kernel=False, interpret=False):
+    """Unfused per-band intra composite (backward recompute + tests).
+    ``route_kernel``: attention core via :func:`fused_window_attention`,
+    one call per band (the bias table is band-dependent)."""
     LB, H, W, C = x_img.shape
     B = LB // L
     h = wq3.shape[0]
@@ -839,19 +881,30 @@ def _xla_freq_intra(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
                    preferred_element_type=jnp.float32) + bv3[None, :, None]
     q, k, v = (t.astype(dtype) for t in (q, k, v))
 
-    logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    # per-band bias: window m belongs to band (m // (B*nW))
     nW = nwr * nwc
-    logits = (logits.reshape(L, B * nW, h, n, n)
-              + biasA.astype(jnp.float32)[:, None]).reshape(-1, h, n, n)
-    if mask is not None:
-        m = mask.astype(jnp.float32)
-        logits = (logits.reshape(LB, nW, h, n, n) + m[None, :, None]
-                  ).reshape(-1, h, n, n)
-    p = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
-                     preferred_element_type=jnp.float32)
+    if route_kernel:
+        from .window_attention import fused_window_attention
+
+        BW = B * nW  # windows per band (batch is band-major)
+        out = jnp.concatenate([
+            fused_window_attention(
+                q[l * BW:(l + 1) * BW], k[l * BW:(l + 1) * BW],
+                v[l * BW:(l + 1) * BW], biasA[l].astype(jnp.float32),
+                mask, scale, nW, interpret)
+            for l in range(L)], axis=0).astype(jnp.float32)
+    else:
+        logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        # per-band bias: window m belongs to band (m // (B*nW))
+        logits = (logits.reshape(L, B * nW, h, n, n)
+                  + biasA.astype(jnp.float32)[:, None]).reshape(-1, h, n, n)
+        if mask is not None:
+            m = mask.astype(jnp.float32)
+            logits = (logits.reshape(LB, nW, h, n, n) + m[None, :, None]
+                      ).reshape(-1, h, n, n)
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
+                         preferred_element_type=jnp.float32)
     proj = jnp.einsum("mhnd,hdc->mnc", out.astype(dtype),
                       wp3.astype(dtype),
                       preferred_element_type=jnp.float32) + bp
@@ -871,9 +924,12 @@ def _freq_intra_fwd(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
 def _freq_intra_bwd(L, win, eps, interpret, res, g):
     (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasA,
      mask) = res
+    rk = _use_fused_bwd()
+    itp = _resolve_interpret(interpret)
     diff = (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasA)
     _, vjp = jax.vjp(
-        lambda *a: _xla_freq_intra(*a, mask, L, win, eps), *diff)
+        lambda *a: _xla_freq_intra(*a, mask, L, win, eps,
+                                   route_kernel=rk, interpret=itp), *diff)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return vjp(g) + (dmask,)
 
@@ -1027,7 +1083,8 @@ def fused_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
 
 
 def _xla_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
-                    bp, biasB, mask, L, win, eps):
+                    bp, biasB, mask, L, win, eps,
+                    route_kernel=False, interpret=False):
     LB, H, W, C = y_img.shape
     B = LB // L
     h = wq3.shape[0]
@@ -1049,16 +1106,25 @@ def _xla_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
     v = jnp.einsum("mnc,hcd->mhnd", z, wv3.astype(dtype),
                    preferred_element_type=jnp.float32) + bv3[None, :, None]
     q, k, v = (t.astype(dtype) for t in (q, k, v))
-    logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    logits = logits + biasB.astype(jnp.float32)[None]
-    if mask is not None:
-        m = jnp.tile(mask.astype(jnp.float32), (1, L, L))
-        logits = (logits.reshape(B, nW, h, Ln, Ln) + m[None, :, None]
-                  ).reshape(-1, h, Ln, Ln)
-    p = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
-                     preferred_element_type=jnp.float32)
+    if route_kernel:
+        from .window_attention import fused_window_attention
+
+        mt = (None if mask is None
+              else jnp.tile(mask.astype(jnp.float32), (1, L, L)))
+        out = fused_window_attention(
+            q, k, v, biasB.astype(jnp.float32), mt, scale, nW,
+            interpret).astype(jnp.float32)
+    else:
+        logits = jnp.einsum("mhnd,mhkd->mhnk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + biasB.astype(jnp.float32)[None]
+        if mask is not None:
+            m = jnp.tile(mask.astype(jnp.float32), (1, L, L))
+            logits = (logits.reshape(B, nW, h, Ln, Ln) + m[None, :, None]
+                      ).reshape(-1, h, Ln, Ln)
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("mhnk,mhkd->mhnd", p.astype(dtype), v,
+                         preferred_element_type=jnp.float32)
     proj = jnp.einsum("mhnd,hdc->mnc", out.astype(dtype),
                       wp3.astype(dtype),
                       preferred_element_type=jnp.float32) + bp
@@ -1081,8 +1147,11 @@ def _freq_inter_bwd(L, win, eps, interpret, res, g):
     (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasB,
      mask) = res
     diff = (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasB)
+    rk = _use_fused_bwd()
+    itp = _resolve_interpret(interpret)
     _, vjp = jax.vjp(
-        lambda *a: _xla_freq_inter(*a, mask, L, win, eps), *diff)
+        lambda *a: _xla_freq_inter(*a, mask, L, win, eps,
+                                   route_kernel=rk, interpret=itp), *diff)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return vjp(g) + (dmask,)
 

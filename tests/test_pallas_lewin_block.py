@@ -115,6 +115,31 @@ def test_attention_vw_packing_shift_mask(rng, monkeypatch):
                                rtol=5e-5, atol=5e-5)
 
 
+def test_attention_half_fused_bwd_matches_xla_bwd(rng, monkeypatch):
+    """The kernel-routed backward recompute (FAIRM_FUSED_BWD=1, default —
+    attention core via fused_window_attention, whose backward is also a
+    Pallas kernel) produces the same gradients as the pure-XLA composite
+    backward, on the hardest case: SW-MSA shift mask + all_DC lam."""
+    args = _attn_args(rng, B=2, H=32, W=32, C=8, h=2)
+    mask = jnp.asarray(win_ops.shift_attn_mask(32, 32, 8, 4))
+    lam = jnp.asarray(rng.standard_normal((2, 2)).astype(np.float32)) * 0.3
+
+    def loss(x, wq3, bias, lam):
+        a = (x,) + args[1:3] + (wq3,) + args[4:11] + (bias,)
+        return jnp.sum(lb.fused_block_attention(*a, mask, lam, 8, 1e-6,
+                                                True) ** 2)
+
+    monkeypatch.setenv("FAIRM_FUSED_BWD", "0")
+    g_x = jax.grad(loss, argnums=(0, 1, 2, 3))(args[0], args[3], args[11],
+                                               lam)
+    monkeypatch.setenv("FAIRM_FUSED_BWD", "1")
+    g_k = jax.grad(loss, argnums=(0, 1, 2, 3))(args[0], args[3], args[11],
+                                               lam)
+    for a, b in zip(g_x, g_k):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def _ffn_args(rng, B=2, H=16, W=16, C=8, Hd=16, dtype=jnp.float32):
     mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
     x = (mk(B, H, W, C) * 0.5).astype(dtype)
@@ -356,6 +381,37 @@ def test_lewin_block_fused_freq_matches_unfused(rng, monkeypatch, shift):
     out_f, _ = blk.apply(v, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_freq_halves_fused_bwd_matches_xla_bwd(rng, monkeypatch):
+    """Kernel-routed backward == pure-XLA backward for both frequency-MSA
+    halves (per-band intra bias tables; grouped L*n inter windows)."""
+    L, h, win = 2, 2, 8
+    n = win * win
+    x, lns, lnb, qkv, wp3, bp = _freq_args(rng, L=L, h=h)
+    res = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    biasA = jnp.asarray(rng.standard_normal((L, h, n, n))
+                        .astype(np.float32)) * 0.05
+    biasB = jnp.asarray(rng.standard_normal((h, L * n, L * n))
+                        .astype(np.float32)) * 0.05
+
+    def loss_intra(x, biasA):
+        return jnp.sum(lb.fused_freq_intra(x, lns, lnb, *qkv, wp3, bp,
+                                           biasA, None, L, win, 1e-6,
+                                           True) ** 2)
+
+    def loss_inter(x, biasB):
+        return jnp.sum(lb.fused_freq_inter(x, res, *qkv, wp3, bp, biasB,
+                                           None, L, win, 1e-6, True) ** 2)
+
+    for loss, bias in ((loss_intra, biasA), (loss_inter, biasB)):
+        monkeypatch.setenv("FAIRM_FUSED_BWD", "0")
+        g_x = jax.grad(loss, argnums=(0, 1))(x, bias)
+        monkeypatch.setenv("FAIRM_FUSED_BWD", "1")
+        g_k = jax.grad(loss, argnums=(0, 1))(x, bias)
+        for a, b in zip(g_x, g_k):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
 
 
 def test_lewin_block_fused_freq_grads_match(rng, monkeypatch):
