@@ -101,22 +101,26 @@ def _run(tile, tol, tmp):
     if REF not in sys.path:
         sys.path.insert(0, REF)
     try:
-        from option import options as opt  # parses the argv above
+        import option as option_mod
+        opt = option_mod.options  # parsed from the argv above on import
         # `option` may already be cached from an earlier import in this
         # process (the golden-parity tests import the reference with
-        # default argv), in which case the argv above never parsed.
-        # Re-apply the rehearsal flags by mutating the shared namespace in
-        # place — every cached `net.*` module holds this same object
-        # (reference analysis scripts use the same pattern, SURVEY §5.6).
-        opt.de_type = list(TASKS)
-        opt.test_de_type = list(TASKS)
+        # default argv AND mutate model-dim flags in place: embed_dim=8,
+        # encoder_embed_dim=28/8, frequency_decompose_type, L, ...).
+        # Rebuild the WHOLE namespace from a fresh parse of the rehearsal
+        # argv — in place, because every cached `net.*` module holds this
+        # same object — then re-run the post-parse derivations
+        # (reference option.py:59-115; the Ntasks shorthand is unused and
+        # encoder_type is always Uformer here).
+        fresh = option_mod.parser.parse_args(sys.argv[1:])
+        opt.__dict__.clear()
+        opt.__dict__.update(vars(fresh))
         opt.batch_size = len(opt.de_type)
-        opt.crop_test_imgs_size = tile
-        opt.num_workers = 0
-        opt.save_imgs = False
-        opt.degradation_embedding_method = ["all_DC"]
-        opt.output_path = os.path.join(tmp, "ref_out") + "/"
         opt.ckpt_path = opt.output_path + "ckpt/"
+        if opt.encoder_dim is None:
+            opt.encoder_dim = 256
+        if opt.lr is None:
+            opt.lr = 2e-4
         from net.encoder_Uformer import UformerEncoder as TorchEncoder
         from net.decoder_Uformer import UformerDecoder as TorchDecoder
 
