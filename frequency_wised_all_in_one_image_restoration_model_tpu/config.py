@@ -169,6 +169,35 @@ class Config:
         return None
 
 
+def check_uformer_window_compat(cfg: Config) -> None:
+    """Reject train/eval size combos whose Uformer window clamps differ.
+
+    Uformer clamps each stage's window to the stage resolution (reference
+    encoder_Uformer.py:531-533), so the relative-position bias tables'
+    SHAPES depend on the image size. A training run shares parameters
+    between training patches (``patch_size``) and in-training eval tiles
+    (``crop_test_imgs_size``); if the two clamp differently at any stage,
+    the eval apply fails deep inside Flax (the reference fails the same
+    way at state-dict load). Called at training startup — config
+    construction alone must not reject this (datasets/analysis tooling
+    builds configs with no models involved).
+    """
+    if "Uformer" not in (cfg.encoder_type, cfg.decoder_type):
+        return
+    depth = 5 if cfg.decoder_type == "Uformer" else 4
+    for s in range(depth):
+        pw = min(8, cfg.patch_size >> s)
+        cw = min(8, cfg.crop_test_imgs_size >> s)
+        if pw != cw:
+            raise ValueError(
+                "patch_size and crop_test_imgs_size clamp Uformer "
+                f"stage-{s} windows differently ({pw} vs {cw}); training "
+                "and eval share parameters, so both sizes must be >= "
+                "8 * 2**(stages-1) or equal (got patch_size="
+                f"{cfg.patch_size}, crop_test_imgs_size="
+                f"{cfg.crop_test_imgs_size})")
+
+
 def _validate_decompose_type(value: str) -> None:
     parts = value.split("_")
     if len(parts) == 2 and parts[0].isdigit() and parts[1] == "bands":

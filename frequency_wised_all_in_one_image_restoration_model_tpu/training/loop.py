@@ -73,6 +73,8 @@ def run_training(cfg: Config, startpoint: int = 0,
     joins the jax.distributed cluster and feeds its process-local slice of
     the global batch (SURVEY.md §5.8; parallel/distributed.py).
     """
+    from ..config import check_uformer_window_compat
+    check_uformer_window_compat(cfg)  # fail fast, not at first eval
     from ..parallel import distributed as dist_lib
     dist_lib.initialize(cfg)
     is_main = jax.process_index() == 0

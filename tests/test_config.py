@@ -54,6 +54,25 @@ def test_invalid_decompose_type_rejected():
     config.parse_args(["--frequency_decompose_type", "DC"])       # ok
 
 
+def test_uformer_train_eval_window_clamp_mismatch_rejected():
+    # patch 32 clamps the deep Uformer stages' windows below 8 while the
+    # default crop_test_imgs_size=128 does not -> shared params can't
+    # serve both (reference encoder_Uformer.py:531-533 clamps the same
+    # way). Checked at training startup, not config construction —
+    # dataset/analysis tooling builds model-free configs.
+    with pytest.raises(ValueError, match="clamp Uformer"):
+        config.check_uformer_window_compat(config.make_config(
+            encoder_type="Uformer", decoder_type="Uformer", patch_size=32))
+    # equal sizes are fine even when clamped...
+    config.check_uformer_window_compat(config.make_config(
+        encoder_type="Uformer", decoder_type="Uformer",
+        patch_size=32, crop_test_imgs_size=32))
+    # ...and unequal sizes are fine when no stage clamps (>= 128)
+    config.check_uformer_window_compat(config.make_config(
+        encoder_type="Uformer", decoder_type="Uformer",
+        patch_size=256, crop_test_imgs_size=128))
+
+
 def test_all_bands_method_parsing():
     cfg = config.make_config(degradation_embedding_method=["all_3_bands"])
     assert cfg.num_bands_all_methods == 3
