@@ -123,9 +123,16 @@ def _leff(sd: Mapping, p: str) -> Dict:
             "linear2": _linear(sd, p + ".linear2.0")}
 
 
-def _qkv(sd: Mapping, p: str) -> Dict:
-    return {"to_q": _linear(sd, p + ".to_q"),
-            "to_kv": _linear(sd, p + ".to_kv")}
+def _qkv(sd: Mapping, p: str, kv_source=None) -> Dict:
+    """LinearProjection (decoder_Uformer.py:80-96): kv_source='attention_kv'
+    splits the kv projection into to_k/to_v over the encoder's K/V dim."""
+    out = {"to_q": _linear(sd, p + ".to_q")}
+    if kv_source == "attention_kv":
+        out["to_k"] = _linear(sd, p + ".to_k")
+        out["to_v"] = _linear(sd, p + ".to_v")
+    else:
+        out["to_kv"] = _linear(sd, p + ".to_kv")
+    return out
 
 
 def _sepconv(sd: Mapping, p: str) -> Dict:
@@ -145,11 +152,12 @@ def conv_projection_from_torch(sd: Mapping, prefix: str = "") -> Dict:
             for name in ("to_q", "to_k", "to_v")}
 
 
-def _attn_origin(sd: Mapping, p: str, num_bands=None) -> Dict:
+def _attn_origin(sd: Mapping, p: str, num_bands=None,
+                 kv_source=None) -> Dict:
     """WindowAttention (encoder_Uformer.py:103-186 / the decoder flavor
     decoder_Uformer.py:128-299 incl. the embed_lamb heads mlp_head.{i}/
     mlp.{i} -> lamb_norm_{i}/lamb_head_{i}/lamb_mlp_{i}_{0,1})."""
-    out = {"qkv": _qkv(sd, p + ".qkv"),
+    out = {"qkv": _qkv(sd, p + ".qkv", kv_source),
            "relative_position_bias_table":
                np.asarray(sd[p + ".relative_position_bias_table"]),
            "proj": _linear(sd, p + ".proj")}
@@ -174,7 +182,14 @@ def _attn_freq(sd: Mapping, p: str, L: int) -> Dict:
 
 def _lewin_block(sd: Mapping, p: str, msa: str, L: int,
                  num_bands=None, modulator: bool = False,
-                 self_modulator: bool = False) -> Dict:
+                 self_modulator: bool = False,
+                 methods: tuple = ()) -> Dict:
+    """``methods``: per-scale degradation-injection methods whose params
+    live inside the block — 'modulator' (decoder_Uformer.py:541-548),
+    'attention_residual' (:569-573) and 'attention_kv' (:218-224, via the
+    qkv projection split). 'self_modulator' keeps its dedicated kwarg."""
+    if self_modulator or "self_modulator" in methods:
+        self_modulator = True
     if self_modulator:
         # norm1/2 are SelfModulatedLayerNorms + degradation pre-norms
         # (decoder_Uformer.py:560-567, 587-594)
@@ -193,7 +208,21 @@ def _lewin_block(sd: Mapping, p: str, msa: str, L: int,
         out["attn_intra"] = _attn_freq(sd, p + ".attn_intra", L)
         out["attn_inter"] = _attn_freq(sd, p + ".attn_inter", L)
     else:
-        out["attn"] = _attn_origin(sd, p + ".attn", num_bands)
+        kv_source = ("attention_kv" if "attention_kv" in methods else
+                     "attention_residual" if "attention_residual" in methods
+                     else None)
+        out["attn"] = _attn_origin(sd, p + ".attn", num_bands, kv_source)
+    if "modulator" in methods:
+        # degradation map -> win x win modulator tokens, concat-embedded
+        # (decoder_Uformer.py:541-548)
+        out["degradation_modulator"] = {
+            "conv": _conv(sd, p + ".degradation_modulator.conv.0")}
+        out["degradation_modulator_norm"] = _ln(
+            sd, p + ".norm_degradation_modulator.0")
+        out["degradation_modulator_embed"] = _linear(
+            sd, p + ".degradation_modulator_embed")
+    if "attention_residual" in methods:
+        out["attn_deg_norm"] = _ln(sd, p + ".norm_degradation_attention.0")
     if modulator:
         out["modulator"] = np.asarray(sd[p + ".modulator.weight"])
     return out

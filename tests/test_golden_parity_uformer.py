@@ -10,10 +10,10 @@ weight transplants via utils/torch_weights.py. Covered here:
   L=3 band fold) and ``'origin'`` — outputs + per-band inter match <= 1e-3;
 * UformerDecoder full forward with ``all_DC`` (the embed_lamb attention-band
   modulation, the reference's live injection path);
-* decoder LeWinTransformerBlock with ``self_modulator`` at the block level
-  (the reference's full forward passes None degradation tensors to every
-  per-scale method and crashes — PARITY.md #5 — so block level is the
-  strongest possible evidence).
+* decoder LeWinTransformerBlock with ``self_modulator``, ``modulator`` and
+  ``attention_residual`` at the block level (the reference's full forward
+  passes None degradation tensors to every per-scale method and crashes —
+  PARITY.md #5 — so block level is the strongest possible evidence).
 """
 
 import sys
@@ -182,6 +182,83 @@ def test_decoder_block_self_modulator_golden(rng):
     params = _lewin_block(sd, "blk", "origin", 1, self_modulator=True)
     jblk = LeWinBlock(dim=dim, input_resolution=res, num_heads=2, win_size=8,
                       shift_size=4, injection=("self_modulator",),
+                      degradation_dim=deg_dim)
+
+    x = rng.standard_normal((2, res * res, dim)).astype(np.float32)
+    inter = rng.standard_normal((2, res * res, deg_dim)).astype(np.float32)
+
+    with torch.no_grad():
+        t_y = tblk(torch.from_numpy(x), inter=torch.from_numpy(inter))
+
+    y, _ = jax.jit(lambda p, x, i: jblk.apply(
+        {"params": p}, x, inter=i, deterministic=True))(
+            params, jnp.asarray(x), jnp.asarray(inter))
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_decoder_block_modulator_golden(rng):
+    """'modulator' injection at block level: the degradation map is strided
+    down to one win x win token grid and concat-embedded into every window
+    (decoder_Uformer.py:541-548, 693-706; per-scale wiring is broken in the
+    reference forward, PARITY.md #5, so the block is fed directly)."""
+    import jax
+    import jax.numpy as jnp
+    from net.decoder_Uformer import LeWinTransformerBlock as TorchBlock
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.uformer_lewin import (
+        LeWinBlock)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.utils.torch_weights import (
+        _lewin_block)
+
+    dim, res = 16, 16
+    tblk = TorchBlock(dim=dim, input_resolution=(res, res), num_heads=2,
+                      win_size=8, shift_size=4, drop_path=0.0,
+                      degradation_dim=dim,
+                      degradation_embedding_method=["modulator"]).eval()
+    sd = {"blk." + k: v for k, v in _sd(tblk).items()}
+    params = _lewin_block(sd, "blk", "origin", 1, methods=("modulator",))
+    jblk = LeWinBlock(dim=dim, input_resolution=res, num_heads=2, win_size=8,
+                      shift_size=4, injection=("modulator",),
+                      degradation_dim=dim)
+
+    x = rng.standard_normal((2, res * res, dim)).astype(np.float32)
+    inter = rng.standard_normal((2, res * res, dim)).astype(np.float32)
+
+    with torch.no_grad():
+        t_y = tblk(torch.from_numpy(x), inter=torch.from_numpy(inter))
+
+    y, _ = jax.jit(lambda p, x, i: jblk.apply(
+        {"params": p}, x, inter=i, deterministic=True))(
+            params, jnp.asarray(x), jnp.asarray(inter))
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_decoder_block_attention_residual_golden(rng):
+    """'attention_residual' injection at block level: the windowed
+    degradation map is the attention KV source (decoder_Uformer.py:569-573,
+    709-714, 220-224). shift_size=0: under SW-MSA we roll the degradation
+    map alongside the content so KV windows stay aligned with their
+    queries; the reference windows it unrolled (PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+    from net.decoder_Uformer import LeWinTransformerBlock as TorchBlock
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.uformer_lewin import (
+        LeWinBlock)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.utils.torch_weights import (
+        _lewin_block)
+
+    dim, res, deg_dim = 16, 16, 32
+    tblk = TorchBlock(dim=dim, input_resolution=(res, res), num_heads=2,
+                      win_size=8, shift_size=0, drop_path=0.0,
+                      degradation_dim=deg_dim,
+                      degradation_embedding_method=["attention_residual"]
+                      ).eval()
+    sd = {"blk." + k: v for k, v in _sd(tblk).items()}
+    params = _lewin_block(sd, "blk", "origin", 1,
+                          methods=("attention_residual",))
+    jblk = LeWinBlock(dim=dim, input_resolution=res, num_heads=2, win_size=8,
+                      shift_size=0, injection=("attention_residual",),
                       degradation_dim=deg_dim)
 
     x = rng.standard_normal((2, res * res, dim)).astype(np.float32)
