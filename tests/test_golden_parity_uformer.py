@@ -10,10 +10,14 @@ weight transplants via utils/torch_weights.py. Covered here:
   L=3 band fold) and ``'origin'`` — outputs + per-band inter match <= 1e-3;
 * UformerDecoder full forward with ``all_DC`` (the embed_lamb attention-band
   modulation, the reference's live injection path);
-* decoder LeWinTransformerBlock with ``self_modulator``, ``modulator`` and
-  ``attention_residual`` at the block level (the reference's full forward
-  passes None degradation tensors to every per-scale method and crashes —
-  PARITY.md #5 — so block level is the strongest possible evidence).
+* decoder LeWinTransformerBlock with ``self_modulator``, ``modulator``,
+  ``attention_residual`` and ``attention_kv`` at the block level (the
+  reference's full forward passes None degradation tensors to every
+  per-scale method and crashes — PARITY.md #5 — so block level is the
+  strongest possible evidence). The two remaining methods cannot be
+  golden-tested at all: ``residual``'s params are missing from the
+  reference state_dict (PARITY.md #4) and ``deform_conv``'s forward is
+  ``assert False`` in the reference (PARITY.md #3).
 """
 
 import sys
@@ -270,6 +274,51 @@ def test_decoder_block_attention_residual_golden(rng):
     y, _ = jax.jit(lambda p, x, i: jblk.apply(
         {"params": p}, x, inter=i, deterministic=True))(
             params, jnp.asarray(x), jnp.asarray(inter))
+    np.testing.assert_allclose(np.asarray(y), t_y.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_decoder_block_attention_kv_golden(rng):
+    """'attention_kv' injection at block level: the encoder's saved
+    last-block K/V are re-projected as the attention KV source
+    (decoder_Uformer.py:715-716, 101-113, 218-219). The reference's
+    rearrange assumes the encoder head dim equals the decoder head dim
+    (it folds heads by the ENCODER's per-head embed) — dims are chosen so
+    both agree (hd_enc = hd_dec = 8)."""
+    import jax
+    import jax.numpy as jnp
+    from net.decoder_Uformer import LeWinTransformerBlock as TorchBlock
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.uformer_lewin import (
+        LeWinBlock)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.utils.torch_weights import (
+        _lewin_block)
+
+    dim, res, heads, hd_enc = 16, 16, 2, 8
+    deg_dim = heads * hd_enc  # folded encoder K/V width
+    tblk = TorchBlock(dim=dim, input_resolution=(res, res), num_heads=heads,
+                      win_size=8, shift_size=4, drop_path=0.0,
+                      degradation_dim=deg_dim,
+                      degradation_embedding_method=["attention_kv"]).eval()
+    sd = {"blk." + k: v for k, v in _sd(tblk).items()}
+    params = _lewin_block(sd, "blk", "origin", 1,
+                          methods=("attention_kv",))
+    jblk = LeWinBlock(dim=dim, input_resolution=res, num_heads=heads,
+                      win_size=8, shift_size=4,
+                      injection=("attention_kv",), degradation_dim=deg_dim)
+
+    B, nw, n = 2, (res // 8) ** 2, 64
+    x = rng.standard_normal((B, res * res, dim)).astype(np.float32)
+    k_in = rng.standard_normal((B * nw, heads, n, hd_enc)).astype(np.float32)
+    v_in = rng.standard_normal((B * nw, heads, n, hd_enc)).astype(np.float32)
+
+    with torch.no_grad():
+        t_y = tblk(torch.from_numpy(x),
+                   inter_kv=[torch.from_numpy(k_in),
+                             torch.from_numpy(v_in)])
+
+    y, _ = jax.jit(lambda p, x, k, v: jblk.apply(
+        {"params": p}, x, inter_kv=(k, v), deterministic=True))(
+            params, jnp.asarray(x), jnp.asarray(k_in), jnp.asarray(v_in))
     np.testing.assert_allclose(np.asarray(y), t_y.numpy(),
                                rtol=1e-3, atol=1e-3)
 
