@@ -184,8 +184,9 @@ def check_uformer_window_compat(cfg: Config) -> None:
     """
     if "Uformer" not in (cfg.encoder_type, cfg.decoder_type):
         return
-    depth = 5 if cfg.decoder_type == "Uformer" else 4
-    for s in range(depth):
+    # both Uformer halves have 5 window stages: 4 down stages + a
+    # bottleneck at p//16 (encoder_Uformer.py:905-921, decoder mirror)
+    for s in range(5):
         pw = min(8, cfg.patch_size >> s)
         cw = min(8, cfg.crop_test_imgs_size >> s)
         if pw != cw:

@@ -154,14 +154,14 @@ def modulated_deform_conv2d(
     # VMEM guard: the kernel precomputes 2S+1 column-rolled fp32 copies in
     # scratch — wide-C shapes (deform_conv injection at deep decoder dims)
     # would not fit, so they keep the exact path too.
-    if stride == 1 and centered:
+    fits = False
+    if (stride == 1 and centered and use_dcn_kernel()
+            and jnp.dtype(x.dtype).itemsize == 2):
+        # only the opt-in 16-bit path pays the kernel import + scratch sizing
         from .pallas.dcn import scratch_bytes
 
         fits = scratch_bytes(x.shape, kh, _dcn_r(), dilation) <= (10 << 20)
-    else:
-        fits = False
-    if (fits and use_dcn_kernel()
-            and jnp.dtype(x.dtype).itemsize == 2):
+    if fits:
         b = bias if bias is not None else jnp.zeros(
             (weight.shape[-1],), jnp.float32)
         return _dcn_fast(x, offset, mask, weight, b, _dcn_r(), padding,

@@ -348,12 +348,11 @@ def _attn_kernel_vw(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
     out_ref[0] = _win_unpack(acc, T, W, win, C).astype(out_ref.dtype)
 
 
-def _choose_t(H: int, W: int, win: int, C: int, h: int, itemsize: int) -> int:
+def _choose_t(H: int, W: int, win: int, C: int) -> int:
     """Rows per tile: multiples of win; grow while the packed fp32 token
     copies (~6 of [M, C] across LN/residual/per-head temporaries) stay
     under ~4 MB of kernel stack (measured: 6 MB put the encoder stage-0
     intra call 388 KB over the 16 MB scoped-VMEM limit)."""
-    import os
     budget = int(os.environ.get("FAIRM_ATTN_T_MB", "4")) << 20
     t = win
     while (t * 2 <= H and H % (t * 2) == 0
@@ -370,15 +369,12 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     ``[bias_groups, h, n, n]`` when bias_groups > 1 (per-band tables for
     the frequency intra attention; batch is band-major, band = b // (B //
     bias_groups)) else ``[h, n, n]`` shared."""
-    if interpret is None:  # auto: interpret off-TPU so CPU tests run it
-        interpret = jax.default_backend() != "tpu"
-    import os
-
+    interpret = _resolve_interpret(interpret)
     B, H, W, C = x_img.shape
     h = wq3.shape[0]
     n = win * win
     nw_row = W // win
-    T = _choose_t(H, W, win, C, h, x_img.dtype.itemsize)
+    T = _choose_t(H, W, win, C)
     nw_tile = (T // win) * nw_row
     # Windows packed per logits matmul: more windows -> fewer, larger MXU
     # ops in the serial group loop, at the cost of P^2-n^2 wasted
@@ -737,8 +733,7 @@ def _ffn_choose_t(H: int, W: int, Hd: int) -> int:
 
 def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
                  interpret):
-    if interpret is None:  # auto: interpret off-TPU so CPU tests run it
-        interpret = jax.default_backend() != "tpu"
+    interpret = _resolve_interpret(interpret)
     B, H, W, C = x_img.shape
     Hd = w1.shape[1]
     T = _ffn_choose_t(H, W, Hd)
@@ -1000,8 +995,7 @@ def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
 
 def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
                         wp3, bp, biasB, mask, L, win, eps, interpret):
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    interpret = _resolve_interpret(interpret)
     LB, H, W, C = y_img.shape
     B = LB // L
     h = wq3.shape[0]

@@ -19,6 +19,9 @@ from frequency_wised_all_in_one_image_restoration_model_tpu.utils.logging import
 
 
 def main(cfg):
+    # params are initialized at patch_size, applied at crop_test_imgs_size
+    # tiles — fail fast if the Uformer window clamps differ (config.py)
+    config_lib.check_uformer_window_compat(cfg)
     bundle = build_models(cfg, eval_mode=True)
     loader = build_train_loader(cfg, seed=cfg.seed)
     state = create_train_state(cfg, bundle, jax.random.PRNGKey(cfg.seed),

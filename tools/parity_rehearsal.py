@@ -37,10 +37,6 @@ REF = "/root/reference"
 TASKS = ("deraining", "dehazing")
 
 
-def _strip(sd, prefix):
-    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
-
-
 def _load_patched_ref_test(tmp):
     """Copy reference test.py with the :67 stitch bug fixed (stitch restored
     tiles, not input tiles) and import it against the reference tree."""
