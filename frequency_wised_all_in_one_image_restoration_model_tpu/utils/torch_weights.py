@@ -349,3 +349,64 @@ def vit_encoder_from_torch(sd: Mapping, depth: int = 12) -> Dict[str, Any]:
     params["mlp_1"] = {"kernel": linear_w(sd["mlp.2.weight"]),
                        "bias": np.asarray(sd["mlp.2.bias"])}
     return {"params": params, "batch_stats": stats}
+
+
+def _dgrn_conv(sd: Mapping, p: str) -> Dict[str, np.ndarray]:
+    d = {"kernel": conv_w(sd[p + ".weight"])}
+    if p + ".bias" in sd:
+        d["bias"] = np.asarray(sd[p + ".bias"])
+    return d
+
+
+def _dgrn_dcn(sd: Mapping, p: str) -> Dict[str, Any]:
+    """Reference DCN_layer (net/utils/deform_conv.py:10-50) -> our DCNLayer.
+
+    Our module stores the sampling weight SHIFTED by +stdv (the init trick
+    ``uniform(0, 2s) - s``, models/decoder_dgrn.py:59-62), so the stored
+    param is the torch weight plus ``1/sqrt(cin*k*k)``.
+    """
+    w = conv_w(sd[p + ".weight"])                   # [k, k, cin, out]
+    k, _, cin, _ = w.shape
+    stdv = 1.0 / np.sqrt(cin * k * k)
+    out: Dict[str, Any] = {
+        "weight": (w + stdv).astype(np.float32),
+        "conv_offset_mask": _dgrn_conv(sd, p + ".conv_offset_mask"),
+    }
+    if p + ".bias" in sd:
+        out["bias"] = np.asarray(sd[p + ".bias"])
+    return out
+
+
+def _dgrn_dgm(sd: Mapping, p: str) -> Dict[str, Any]:
+    return {"dcn": _dgrn_dcn(sd, p + ".dcn"),
+            "sft": sft_layer_from_torch(sd, p + ".sft.")["params"]}
+
+
+def _dgrn_dgb(sd: Mapping, p: str) -> Dict[str, Any]:
+    return {"dgm1": _dgrn_dgm(sd, p + ".dgm1"),
+            "dgm2": _dgrn_dgm(sd, p + ".dgm2"),
+            "conv1": _dgrn_conv(sd, p + ".conv1"),
+            "conv2": _dgrn_conv(sd, p + ".conv2")}
+
+
+def dgrn_decoder_from_torch(sd: Mapping, groups: int = 5,
+                            blocks: int = 5) -> Dict[str, Any]:
+    """Reference DGRN decoder state_dict -> our DGRN variables.
+
+    Names (decoder_DGRN.py:113-142): ``head.0``, ``body.{g}`` a DGG for
+    g < groups whose ``body.{i}`` is a DGB for i < blocks and ``body.{blocks}``
+    the group conv, ``body.{groups}`` the trunk conv, ``tail.0``. The
+    reference ships this decoder's DCN forward as ``assert False``
+    (net/utils/deform_conv.py:64) so no reference-side numeric golden is
+    possible; SFT and DCN numerics are pinned by their own parity tests.
+    """
+    params: Dict[str, Any] = {"head": _dgrn_conv(sd, "head.0"),
+                              "tail": _dgrn_conv(sd, "tail.0")}
+    for g in range(groups):
+        dgg: Dict[str, Any] = {
+            f"dgb{i}": _dgrn_dgb(sd, f"body.{g}.body.{i}")
+            for i in range(blocks)}
+        dgg["conv"] = _dgrn_conv(sd, f"body.{g}.body.{blocks}")
+        params[f"dgg{g}"] = dgg
+    params["body_conv"] = _dgrn_conv(sd, f"body.{groups}")
+    return {"params": params}
