@@ -96,8 +96,24 @@ class LeWinBlock(nn.Module):
                                     # per-scale injection
             and self.lamb_bands_num is None
             and (self.all_bands_num is None or self.all_bands_dc)
-            and not self.is_mutable_collection("intermediates")
-            and (deterministic or self.drop_path == 0.0))
+            and not self.is_mutable_collection("intermediates"))
+
+        # DropPath around a residual-including fused kernel output, as an
+        # exact lerp: for y = x + branch and the per-sample scale
+        # s in {0, 1/keep},  x + s*branch == (1-s)*x + s*y.  The scale is
+        # drawn through the same DropPath module names as the unfused path
+        # ("drop_path1"/"drop_path2"), so both paths consume identical rng
+        # streams and are parity-testable draw for draw.
+        def dp_lerp(name, x_img, y_img):
+            if deterministic or self.drop_path == 0.0:
+                return y_img
+            s = DropPath(self.drop_path, name=name)(
+                jnp.ones((b, 1, 1), jnp.float32), deterministic)
+            s = s.reshape(b, 1, 1, 1)
+            out = (x_img.astype(jnp.float32) * (1.0 - s)
+                   + y_img.astype(jnp.float32) * s)
+            return out.astype(y_img.dtype)
+
         if fused_ok:
             from ..ops.pallas.lewin_block import (fused_block_attention,
                                                   fused_block_ffn)
@@ -109,7 +125,8 @@ class LeWinBlock(nn.Module):
                     all_bands_dc=(self.all_bands_num is not None
                                   and self.all_bands_dc),
                     dtype=self.dtype, name="attn")(all_inter)
-            img = to_image(x.astype(self.dtype), res, res)
+            img0 = to_image(x.astype(self.dtype), res, res)
+            img = img0
             if shift > 0:
                 img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
             y = fused_block_attention(img, n1s, n1b, wq3, bq3, wk3, bk3,
@@ -117,13 +134,14 @@ class LeWinBlock(nn.Module):
                                       lam, win)
             if shift > 0:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            y = dp_lerp("drop_path1", img0, y)
 
             n2s, n2b = _LNParams(self.dim, name="norm2")()
             hidden = int(self.dim * self.mlp_ratio)
             w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
                 self.dim, hidden, name="mlp")()
-            y = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
-            return to_tokens(y), None
+            y2 = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
+            return to_tokens(dp_lerp("drop_path2", y, y2)), None
 
         # ---- fused frequency-MSA path (encoder flagship) ----------------
         fused_freq_ok = (
@@ -134,8 +152,7 @@ class LeWinBlock(nn.Module):
             and not self.modulator
             and not self.need_kv
             and not self.injection
-            and not self.is_mutable_collection("intermediates")
-            and (deterministic or self.drop_path == 0.0))
+            and not self.is_mutable_collection("intermediates"))
         if fused_freq_ok:
             from ..ops.pallas.lewin_block import (fused_block_ffn,
                                                   fused_freq_inter,
@@ -149,7 +166,8 @@ class LeWinBlock(nn.Module):
             inter_p = _FusedFreqAttnParams(self.dim, win, self.num_heads,
                                            self.L, "inter",
                                            name="attn_inter")()
-            img = to_image(x.astype(self.dtype), res, res)
+            img0 = to_image(x.astype(self.dtype), res, res)
+            img = img0
             if shift > 0:
                 img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
             y1 = fused_freq_intra(img, n1s, n1b, *intra_p, attn_mask,
@@ -158,13 +176,14 @@ class LeWinBlock(nn.Module):
                                  win)
             if shift > 0:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            y = dp_lerp("drop_path1", img0, y)
 
             n2s, n2b = _LNParams(self.dim, name="norm2")()
             hidden = int(self.dim * self.mlp_ratio)
             w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
                 self.dim, hidden, name="mlp")()
-            y = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
-            return to_tokens(y), None
+            y2 = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
+            return to_tokens(dp_lerp("drop_path2", y, y2)), None
 
         shortcut = x
 

@@ -272,6 +272,39 @@ def test_lewin_block_fused_grads_match(rng, monkeypatch):
                                    rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("msa_type", ["origin", "freq"])
+def test_lewin_block_fused_droppath_train_matches_unfused(
+        rng, monkeypatch, msa_type):
+    """Training with drop_path > 0 keeps the fused path: DropPath is an
+    exact lerp around the residual-including kernels ((1-s)*x + s*(x +
+    branch) == x + s*branch), and the per-sample scale is drawn through
+    the same DropPath module names as the unfused path — with identical
+    rngs the two paths agree draw for draw."""
+    kw = dict(drop_path=0.5, shift_size=4)
+    if msa_type == "freq":
+        kw.update(msa_type="freq", L=2)
+    blk = _block_cfg(**kw)
+    B = 16 if msa_type == "freq" else 8  # freq folds L into the batch
+    x = jnp.asarray(rng.standard_normal((B, 256, 16)).astype(np.float32))
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "0")
+    v = blk.init({"params": jax.random.PRNGKey(0),
+                  "droppath": jax.random.PRNGKey(1)}, x)
+    out_u, _ = blk.apply(v, x, deterministic=False,
+                         rngs={"droppath": jax.random.PRNGKey(7)})
+    det_u, _ = blk.apply(v, x)
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "1")
+    out_f, _ = blk.apply(v, x, deterministic=False,
+                         rngs={"droppath": jax.random.PRNGKey(7)})
+
+    # the stochastic output differs from the deterministic one (some
+    # samples were dropped/rescaled), and the two paths agree exactly
+    assert not np.allclose(np.asarray(out_u), np.asarray(det_u))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=5e-4, atol=5e-4)
+
+
 # ---------------------------------------------------------------------------
 # Frequency-MSA halves
 # ---------------------------------------------------------------------------
