@@ -49,6 +49,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .partition import spmd_call as _spmd_call
+
 
 def _use_fused_bwd() -> bool:
     """Route the custom-VJP backward recompute's attention core through the
@@ -629,8 +631,13 @@ def fused_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
       lam: ``[B, h]`` all_DC per-head gain or None.
     Returns ``[B, H, W, C]`` in x's dtype.
     """
-    return _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
-                         wp3, bp, bias, mask, lam, win, eps, interpret)
+    impl = functools.partial(_attn_forward, win=win, eps=eps,
+                             interpret=interpret)
+    return _spmd_call(
+        impl,
+        [(x_img, 0), (lns, None), (lnb, None), (wq3, None), (bq3, None),
+         (wk3, None), (bk3, None), (wv3, None), (bv3, None), (wp3, None),
+         (bp, None), (bias, None), (mask, None), (lam, 0)])
 
 
 def _attn_fwd(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
@@ -800,8 +807,11 @@ def fused_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2,
       bd ``[Hd]``, w2 ``[Hd, C]``, b2 ``[C]``.
     Returns ``[B, H, W, C]`` in x's dtype.
     """
-    return _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps,
-                        interpret)
+    impl = functools.partial(_ffn_forward, eps=eps, interpret=interpret)
+    return _spmd_call(
+        impl,
+        [(x_img, 0), (lns, None), (lnb, None), (w1, None), (b1, None),
+         (wd, None), (bd, None), (w2, None), (b2, None)])
 
 
 def _ffn_fwd(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps, interpret):

@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .partition import spmd_call as _spmd_call
+
 
 def _pack_factor(n: int) -> int:
     return max(1, 128 // n)
@@ -336,7 +338,13 @@ def fused_window_attention(q, k, v, bias, mask, scale: float, nW: int,
     if mask is not None and q.shape[0] % nW != 0:
         out, _ = _xla_reference(q, k, v, bias, mask, scale, nW)
         return out
-    return _forward(q, k, v, bias, mask, scale, nW, interpret)
+    impl = functools.partial(_forward, scale=scale, nW=nW,
+                             interpret=interpret)
+    # quantum=nW under a mask: the window-major leading dim must shard at
+    # image boundaries for the mask's cycling index map to stay aligned
+    return _spmd_call(impl,
+                      [(q, 0), (k, 0), (v, 0), (bias, None), (mask, None)],
+                      quantum=nW if mask is not None else 1)
 
 
 def _fwd(q, k, v, bias, mask, scale, nW, interpret):
@@ -344,14 +352,8 @@ def _fwd(q, k, v, bias, mask, scale, nW, interpret):
     return out, (q, k, v, bias, mask)
 
 
-def _bwd(scale, nW, interpret, res, g):
-    q, k, v, bias, mask = res
-    if mask is None or q.shape[0] % nW == 0:
-        fused = _backward(q, k, v, bias, mask, g, scale, nW, interpret)
-        if fused is not None:
-            dq, dk, dv, dbias = fused
-            dmask = None if mask is None else jnp.zeros_like(mask)
-            return (dq, dk, dv, dbias.astype(bias.dtype), dmask)
+def _xla_backward(q, k, v, bias, mask, g, scale, nW):
+    """Plain-XLA backward (shapes the packer cannot tile)."""
     _, probs = _xla_reference(q, k, v, bias, mask, scale, nW)
     g32 = g.astype(jnp.float32)
     p32 = probs
@@ -365,9 +367,33 @@ def _bwd(scale, nW, interpret, res, g):
     dq = jnp.einsum("whnm,whmd->whnd", dlogits, k32) * scale
     dk = jnp.einsum("whnm,whnd->whmd", dlogits, q32) * scale
     dbias = jnp.sum(dlogits, axis=0)
-    dmask = None if mask is None else jnp.zeros_like(mask)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias.astype(bias.dtype), dmask)
+            dbias)
+
+
+def _backward_any(q, k, v, bias, mask, g, scale, nW, interpret):
+    """Fused backward, or the XLA fallback where the packer can't tile —
+    decided from the shapes ACTUALLY seen, so the batch-partitioned
+    per-shard lowering re-decides at local shapes."""
+    if mask is None or q.shape[0] % nW == 0:
+        fused = _backward(q, k, v, bias, mask, g, scale, nW, interpret)
+        if fused is not None:
+            return fused
+    return _xla_backward(q, k, v, bias, mask, g, scale, nW)
+
+
+def _bwd(scale, nW, interpret, res, g):
+    q, k, v, bias, mask = res
+    impl = functools.partial(_backward_any, scale=scale, nW=nW,
+                             interpret=interpret)
+    # dbias is accumulated ACROSS the window/batch grid -> psum'd over the
+    # batch mesh axes by the partitioned lowering (reduced_out)
+    dq, dk, dv, dbias = _spmd_call(
+        impl, [(q, 0), (k, 0), (v, 0), (bias, None), (mask, None), (g, 0)],
+        out_batch_dims=(0, 0, 0, None), reduced_out=(3,),
+        quantum=nW if mask is not None else 1)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dq, dk, dv, dbias.astype(bias.dtype), dmask)
 
 
 fused_window_attention.defvjp(_fwd, _bwd)
