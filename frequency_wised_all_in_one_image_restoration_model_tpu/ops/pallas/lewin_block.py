@@ -134,11 +134,14 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
                 logits = logits + mask_ref[0, g]
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            # normalize AFTER e@v: (e@v)/Z == (e/Z)@v exactly, but the
+            # divide touches [P*n, d] instead of [P*n, P*n] — the packed
+            # logits area is the kernel's largest VPU surface
             og = jax.lax.dot_general(
-                p.astype(dtype), v,
+                e.astype(dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [P*n, d] fp32
+                preferred_element_type=jnp.float32
+            ) / jnp.sum(e, axis=-1, keepdims=True)   # [P*n, d] fp32
             if has_lam:
                 # all_DC rank-1 modulation (models/uformer_blocks.py:293):
                 # out' = (1+lam)*out - (lam/n) * sum_m v[m]
@@ -164,190 +167,6 @@ def _pack_bias_np(P: int, n: int) -> np.ndarray:
     row_win = np.arange(P * n)[:, None] // n
     col_win = np.arange(P * n)[None, :] // n
     return np.where(row_win == col_win, 0.0, -1e9).astype(np.float32)
-
-
-# ---------------------------------------------------------------------------
-# Virtual-window packing (FAIRM_ATTN_VW=1): windows AND heads jointly
-# packed into MXU row tiles
-# ---------------------------------------------------------------------------
-#
-# The default kernel iterates serially over (window-group, head) pairs —
-# G*h tiny [P*n, d] matmul pairs per grid step (16-32 of them at flagship
-# dims), each far below MXU tile size. A (window w, head hh) pair is an
-# INDEPENDENT n-token attention problem, so both axes can be packed into
-# one row tile: fold qkv head-major to [h*M, d] "virtual windows"
-# (vw = hh*nw_tile + w), pack R of them per logits matmul, and kill
-# cross-vw logits with the same -1e9 block-diagonal trick used for
-# windows. Per-vw bias (head-dependent) and SW-MSA mask (window-dependent)
-# are precomputed as packed pattern tables, deduped and block-sliced so
-# their VMEM stays bounded.
-
-
-def _vw_choose(nw_tile: int, h: int, n: int, has_mask: bool,
-               rows_cap: int | None = None, bias_groups: int = 1):
-    """Pick R (virtual windows per chunk). Constraints: R*n <= rows_cap
-    (default 512, ``FAIRM_ATTN_VW_ROWS``); chunks cover whole heads or
-    whole tiles (R | nw_tile or nw_tile | R with (R/nw_tile) | h);
-    dedup'd bias patterns <= 2 MB; per-step packed mask <= 2 MB."""
-    if rows_cap is None:
-        rows_cap = int(os.environ.get("FAIRM_ATTN_VW_ROWS", "512"))
-    total = nw_tile * h
-
-    def ok(R):
-        if total % R:
-            return False
-        if R <= nw_tile:
-            if nw_tile % R:
-                return False
-            n_bias = h
-            n_mask_groups = nw_tile // R
-        else:
-            if R % nw_tile or h % (R // nw_tile):
-                return False
-            n_bias = total // R
-            n_mask_groups = 1
-        if n_bias * (R * n) ** 2 * 4 > (2 << 20):
-            return False
-        if has_mask and n_mask_groups * (R * n) ** 2 * 4 > (2 << 20):
-            return False
-        return True
-
-    R = max(1, rows_cap // n)
-    while R > 1 and not ok(R):
-        R -= 1
-    return R if ok(R) else 1
-
-
-def _vw_tables(bias, mask, nw_tile: int, h: int, n: int, R: int, nI: int):
-    """Packed per-chunk bias patterns (dedup'd) and per-(i, group) masks.
-
-    Returns (bias_pk [n_pat, R*n, R*n], pat_idx [chunks] np,
-             mask_pk or None [nI, groups, R*n, R*n], grp_idx [chunks] np).
-    """
-    total = nw_tile * h
-    chunks = total // R
-    heads_of = lambda c: [(c * R + r) // nw_tile for r in range(R)]
-
-    # dedupe bias patterns by their head sequence
-    pat_of = {}
-    pat_idx = np.zeros(chunks, np.int64)
-    seqs = []
-    for c in range(chunks):
-        key = tuple(heads_of(c))
-        if key not in pat_of:
-            pat_of[key] = len(seqs)
-            seqs.append(key)
-        pat_idx[c] = pat_of[key]
-    base = jnp.asarray(_pack_bias_np(R, n))
-    pats = []
-    for key in seqs:
-        p = base
-        for r, hh in enumerate(key):
-            p = p.at[r * n:(r + 1) * n, r * n:(r + 1) * n].add(
-                bias[hh].astype(jnp.float32))
-        pats.append(p)
-    bias_pk = jnp.stack(pats, axis=0)
-
-    mask_pk = None
-    grp_idx = np.zeros(chunks, np.int64)
-    if mask is not None:
-        # window sequence per chunk: vw = hh*nw_tile + w
-        wins_of = lambda c: [(c * R + r) % nw_tile for r in range(R)]
-        grp_of = {}
-        wseqs = []
-        for c in range(chunks):
-            key = tuple(wins_of(c))
-            if key not in grp_of:
-                grp_of[key] = len(wseqs)
-                wseqs.append(key)
-            grp_idx[c] = grp_of[key]
-        m = mask.astype(jnp.float32).reshape(nI, nw_tile, n, n)
-        groups = []
-        for key in wseqs:
-            g = jnp.zeros((nI, R * n, R * n), jnp.float32)
-            for r, w in enumerate(key):
-                g = g.at[:, r * n:(r + 1) * n, r * n:(r + 1) * n].set(
-                    m[:, w])
-            groups.append(g)
-        mask_pk = jnp.stack(groups, axis=1)  # [nI, n_groups, R*n, R*n]
-    return bias_pk, pat_idx, mask_pk, grp_idx
-
-
-def _attn_kernel_vw(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
-                    bp_ref, bias_ref, mask_ref, lam_ref, out_ref, *,
-                    T: int, W: int, C: int, h: int, win: int, R: int,
-                    pat_idx, grp_idx, eps: float, has_mask: bool,
-                    has_lam: bool, ln: bool, res: bool, dtype):
-    n = win * win
-    nw_tile = (T // win) * (W // win)
-    M = nw_tile * n
-    d = C // h
-    scale = d ** -0.5
-    chunks = (nw_tile * h) // R
-
-    x = x_ref[0]
-    xf = x.astype(jnp.float32)
-    if ln:
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-        xn = xn * lns_ref[0] + lnb_ref[0]
-    else:
-        xn = xf
-
-    xw = _win_pack(xn.astype(dtype), T, W, win, C)   # [M, C]
-    if res:
-        acc = _win_pack(xf, T, W, win, C)
-    else:
-        acc = jnp.zeros((M, C), jnp.float32)
-
-    qkv = jax.lax.dot_general(
-        xw, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bqkv_ref[0]
-    qkv = qkv.astype(dtype)                          # [M, 3C]
-
-    # head-major virtual-window fold: [M, h, d] -> [h*M, d]
-    fold = lambda a: (a.reshape(M, h, d).transpose(1, 0, 2)
-                       .reshape(h * M, d))
-    qh = fold(qkv[:, :C])
-    kh = fold(qkv[:, C:2 * C])
-    vh = fold(qkv[:, 2 * C:])
-
-    outs = []
-    for c in range(chunks):
-        s = slice(c * R * n, (c + 1) * R * n)
-        q, k, v = qh[s], kh[s], vh[s]
-        logits = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        logits = logits + bias_ref[0, int(pat_idx[c])]
-        if has_mask:
-            logits = logits + mask_ref[0, int(grp_idx[c])]
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        og = jax.lax.dot_general(
-            p.astype(dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [R*n, d] fp32
-        if has_lam:
-            # all_DC rank-1 modulation per virtual window's head
-            lam_vec = jnp.stack(
-                [lam_ref[0, 0, (c * R + r) // nw_tile] for r in range(R)]
-            ).reshape(R, 1, 1)                        # [R, 1, 1]
-            vs = jnp.sum(v.astype(jnp.float32).reshape(R, n, d), axis=1)
-            og = ((1.0 + lam_vec) * og.reshape(R, n, d)
-                  - (lam_vec / n) * vs[:, None, :]).reshape(R * n, d)
-        outs.append(og.astype(dtype))
-    out_h = jnp.concatenate(outs, axis=0)            # [h*M, d]
-    out_all = (out_h.reshape(h, M, d).transpose(1, 0, 2)
-                    .reshape(M, C))                  # back to [M, C]
-
-    acc = acc + jax.lax.dot_general(
-        out_all, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc = acc + bp_ref[0]
-    out_ref[0] = _win_unpack(acc, T, W, win, C).astype(out_ref.dtype)
 
 
 def _choose_t(H: int, W: int, win: int, C: int) -> int:
@@ -381,8 +200,10 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     # Windows packed per logits matmul: more windows -> fewer, larger MXU
     # ops in the serial group loop, at the cost of P^2-n^2 wasted
     # (-1e9-masked) cross-window logits and h*(P*n)^2 fp32 of packed-bias
-    # VMEM. Bounded so the bias tile stays <=2 MB.
-    pmax = max(1, (128 * int(os.environ.get("FAIRM_ATTN_P", "1"))) // n)
+    # VMEM. Bounded so the bias tile stays <=2 MB. Default 2 (256-row
+    # logits tiles): measured +4% e2e over 1 on v5e (VALIDATION.md r3
+    # sweep); 4 failed to compile at the flagship operating point.
+    pmax = max(1, (128 * int(os.environ.get("FAIRM_ATTN_P", "2"))) // n)
     while pmax > 1 and h * (pmax * n) ** 2 * 4 > (2 << 20):
         pmax //= 2
     P = max(1, min(pmax, nw_tile))
@@ -404,69 +225,6 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     bqkv_full = jnp.concatenate(
         [b.reshape(C) for b in (bq3, bk3, bv3)]).reshape(1, 3 * C)
     wp_full = wp3.reshape(C, C).astype(dt)
-
-    use_vw = (os.environ.get("FAIRM_ATTN_VW", "0")
-              not in ("0", "", "false", "False"))
-    if use_vw:
-        R = _vw_choose(nw_tile, h, n, has_mask,
-                       bias_groups=bias_groups)
-        # per-band pattern tables when bias is banded (freq intra): the
-        # pattern STRUCTURE (pat_idx) is band-independent, the values are
-        # not — stack [NB, n_pat, R*n, R*n] and block-slice by the grid's
-        # band (batch is band-major: band = b // (B // NB))
-        bias_nb_ = bias if bias_groups > 1 else bias[None]
-        per_band = [_vw_tables(bias_nb_[l], mask, nw_tile, h, n, R, nI)
-                    for l in range(bias_groups)]
-        bias_pk = jnp.stack([t[0] for t in per_band], axis=0)
-        pat_idx, mask_pk, grp_idx = per_band[0][1:]
-        if has_mask:
-            n_groups = mask_pk.shape[1]
-            mask_arr = mask_pk
-            mask_spec = pl.BlockSpec((1, n_groups, R * n, R * n),
-                                     lambda b, i: (i, 0, 0, 0),
-                                     memory_space=pltpu.VMEM)
-        else:
-            mask_arr = jnp.zeros((1, 1, R * n, R * n), jnp.float32)
-            mask_spec = pl.BlockSpec((1, 1, R * n, R * n),
-                                     lambda b, i: (0, 0, 0, 0),
-                                     memory_space=pltpu.VMEM)
-        if has_lam:
-            lam_arr = lam.astype(jnp.float32).reshape(B, 1, h)
-            lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (b, 0, 0),
-                                    memory_space=pltpu.VMEM)
-        else:
-            lam_arr = jnp.zeros((1, 1, h), jnp.float32)
-            lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (0, 0, 0),
-                                    memory_space=pltpu.VMEM)
-        kernel = functools.partial(
-            _attn_kernel_vw, T=T, W=W, C=C, h=h, win=win, R=R,
-            pat_idx=pat_idx, grp_idx=grp_idx, eps=eps, has_mask=has_mask,
-            has_lam=has_lam, ln=ln, res=res, dtype=x_img.dtype)
-        vspec = lambda *shape: pl.BlockSpec(
-            shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=(B, nI),
-            in_specs=[
-                pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                vspec(1, C), vspec(1, C),
-                vspec(C, 3 * C), vspec(1, 3 * C),
-                vspec(C, C), vspec(1, C),
-                pl.BlockSpec(
-                    (1,) + tuple(bias_pk.shape[1:]),
-                    (lambda b, i: (b // (B // bias_groups), 0, 0, 0))
-                    if bias_groups > 1 else (lambda b, i: (0, 0, 0, 0)),
-                    memory_space=pltpu.VMEM),
-                mask_spec, lam_spec,
-            ],
-            out_specs=pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, H, W, C), x_img.dtype),
-            interpret=interpret,
-        )(x_img, lns.reshape(1, C), lnb.reshape(1, C),
-          wqkv_full, bqkv_full.astype(jnp.float32), wp_full,
-          bp.reshape(1, C), bias_pk, mask_arr, lam_arr)
 
     # bias: [(NB,) h, n, n] -> packed [NB, h, P*n, P*n]
     # (diag blocks + -1e9 cross-window)
@@ -830,6 +588,15 @@ def _ffn_bwd(eps, interpret, res, g):
 fused_block_ffn.defvjp(_ffn_fwd, _ffn_bwd)
 
 
+# Negative result (v5e, r3): routing the FFN half to the XLA composite at
+# res <= 32 — where the composite beats the kernel 0.78-0.91x IN ISOLATION
+# (it batches all images into one MXU matmul) — is a 60% e2e LOSS
+# (212 ms vs 133 at B=32). The isolated advantage does not survive
+# composition: alternating XLA/Pallas stages breaks the back-to-back
+# pallas_call pipelining and reintroduces HBM-layout round-trips. The
+# fused kernel stays the FFN path at every stage.
+
+
 # ---------------------------------------------------------------------------
 # Frequency-MSA halves (encoder): per-band intra + grouped cross-band inter
 # ---------------------------------------------------------------------------
@@ -982,11 +749,13 @@ def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
                 logits = logits + mtile
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            head_outs.append(jax.lax.dot_general(
-                p.astype(dtype), v,
+            # normalize after e@v (see _attn_kernel): divide [Ln, d], not
+            # the [Ln, Ln] logits area
+            head_outs.append((jax.lax.dot_general(
+                e.astype(dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
+                preferred_element_type=jnp.float32)
+                / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype))
         win_outs.append(jnp.concatenate(head_outs, axis=1))  # [Ln, C]
     out_all = jnp.concatenate(win_outs, axis=0)      # [nw*Ln, C]
     acc = jax.lax.dot_general(

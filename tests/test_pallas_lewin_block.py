@@ -85,36 +85,6 @@ def test_attention_half_grads(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("shape", [
-    (8, 8, 32, 16),     # conv-stage-like: 1 window, 16 heads (deep regime)
-    (16, 16, 32, 16),   # dec3-like: R spans heads AND multiple windows
-    (16, 16, 32, 8),    # mixed: shallow/deep boundary
-])
-def test_attention_vw_packing_matches_composite(rng, monkeypatch, shape):
-    """FAIRM_ATTN_VW=1 (windows+heads jointly packed) is numerically
-    identical to the composite at deep-stage-like head counts, with and
-    without the all_DC modulation."""
-    H, W, C, h = shape
-    monkeypatch.setenv("FAIRM_ATTN_VW", "1")
-    args = _attn_args(rng, B=2, H=H, W=W, C=C, h=h)
-    lam = jnp.asarray(rng.standard_normal((2, h)).astype(np.float32)) * 0.3
-    for lam_i in (None, lam):
-        got = lb.fused_block_attention(*args, None, lam_i, 8, 1e-6, True)
-        want = lb._xla_block_attention(*args, None, lam_i, 8, 1e-6)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=5e-5, atol=5e-5)
-
-
-def test_attention_vw_packing_shift_mask(rng, monkeypatch):
-    monkeypatch.setenv("FAIRM_ATTN_VW", "1")
-    args = _attn_args(rng, B=1, H=32, W=32, C=16, h=4)
-    mask = jnp.asarray(win_ops.shift_attn_mask(32, 32, 8, 4))
-    got = lb.fused_block_attention(*args, mask, None, 8, 1e-6, True)
-    want = lb._xla_block_attention(*args, mask, None, 8, 1e-6)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=5e-5, atol=5e-5)
-
-
 def test_attention_half_fused_bwd_matches_xla_bwd(rng, monkeypatch):
     """The kernel-routed backward recompute (FAIRM_FUSED_BWD=1, default —
     attention core via fused_window_attention, whose backward is also a
@@ -327,24 +297,6 @@ def _freq_args(rng, L=3, B=2, H=16, W=16, C=8, h=2, win=8):
 def test_freq_intra_matches_composite(rng):
     L, h, win = 3, 2, 8
     n = win * win
-    x, lns, lnb, qkv, wp3, bp = _freq_args(rng, L=L, h=h)
-    biasA = jnp.asarray(rng.standard_normal((L, h, n, n))
-                        .astype(np.float32)) * 0.05
-    got = lb.fused_freq_intra(x, lns, lnb, *qkv, wp3, bp, biasA, None,
-                              L, win, 1e-6, True)
-    want = lb._xla_freq_intra(x, lns, lnb, *qkv, wp3, bp, biasA, None,
-                              L, win, 1e-6)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=5e-5, atol=5e-5)
-
-
-def test_freq_intra_vw_packing_matches_composite(rng, monkeypatch):
-    """FAIRM_ATTN_VW=1 on the banded (per-band bias) intra path: the
-    per-band packed bias tables must select the right band per batch
-    slot (batch is band-major, band = b // (B // L))."""
-    L, h, win = 3, 4, 8
-    n = win * win
-    monkeypatch.setenv("FAIRM_ATTN_VW", "1")
     x, lns, lnb, qkv, wp3, bp = _freq_args(rng, L=L, h=h)
     biasA = jnp.asarray(rng.standard_normal((L, h, n, n))
                         .astype(np.float32)) * 0.05

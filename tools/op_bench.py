@@ -22,6 +22,38 @@ import numpy as np
 B = 64
 
 
+_CALL_OVERHEAD = None
+
+
+def call_overhead():
+    """Fixed per-call cost of one chained-timer invocation on this backend
+    (tunnel RTT + dispatch + scalar fetch). Measured 2026-08-18: ~26 ms,
+    independent of iters and of the work inside — which silently added
+    26/iters ms to every per-iter number this file ever printed (the r2/r3
+    'isolated 5x slower than e2e' mystery was exactly this). Calibrated
+    once per process with an empty elementwise chain and subtracted."""
+    global _CALL_OVERHEAD
+    if _CALL_OVERHEAD is None:
+        x = jnp.ones((256, 256), jnp.bfloat16)
+
+        def chained(x):
+            out, _ = jax.lax.scan(lambda c, _: (c * 1.0001, ()), x, None,
+                                  length=16)
+            return jnp.mean(out.astype(jnp.float32))
+
+        j = jax.jit(chained)
+        float(j(x))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(j(x))
+            best = min(best, time.perf_counter() - t0)
+        _CALL_OVERHEAD = best
+        print(f"[per-call overhead: {best*1e3:.1f} ms — subtracted]",
+              flush=True)
+    return _CALL_OVERHEAD
+
+
 def timer(fn, args, iters=16):
     def chained(*args):
         def body(c, _):
@@ -32,11 +64,13 @@ def timer(fn, args, iters=16):
 
     j = jax.jit(chained)
     float(j(*args))
-    t0 = time.perf_counter()
-    v = float(j(*args))
-    dt = (time.perf_counter() - t0) / iters
-    assert v == v
-    return dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = float(j(*args))
+        best = min(best, time.perf_counter() - t0)
+        assert v == v
+    return max(best - call_overhead(), 1e-9) / iters
 
 
 def bench_attn():
@@ -176,7 +210,7 @@ def bench_blockk():
 
     rng = np.random.default_rng(0)
     mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
-    B = 8
+    B = int(os.environ.get("OPB_BATCH", "8"))
 
     # decoder stages: (name, res, C, h, depth)
     dec = [("enc0", 128, 56, 1, 2), ("enc1", 64, 112, 2, 2),
