@@ -85,9 +85,9 @@ def _win_unpack(y, T, W, win, C):
 
 def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
                  bp_ref, bias_ref, mask_ref, lam_ref, out_ref, *, T: int,
-                 W: int, C: int, h: int, win: int, P: int, eps: float,
-                 has_mask: bool, has_lam: bool, ln: bool, res: bool,
-                 dtype):
+                 W: int, C: int, h: int, win: int, P: int, Q: int,
+                 eps: float, has_mask: bool, has_lam: bool, ln: bool,
+                 res: bool, dtype):
     n = win * win
     nw_tile = (T // win) * (W // win)
     M = nw_tile * n
@@ -95,7 +95,7 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
     d = C // h
     scale = d ** -0.5
 
-    x = x_ref[0]                                     # [T, W, C]
+    x = x_ref[...].reshape(Q * T, W, C)              # [Q*T, W, C]
     xf = x.astype(jnp.float32)
     if ln:
         mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -105,21 +105,24 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
     else:
         xn = xf
 
-    xw = _win_pack(xn.astype(dtype), T, W, win, C)   # [M, C]
+    # window-major tokens, images stacked: [Q*M, C]. Row blocks of T are
+    # whole images (T % win == 0), so windows never span images.
+    xw = _win_pack(xn.astype(dtype), Q * T, W, win, C)
     if res:
-        acc = _win_pack(xf, T, W, win, C)            # residual, fp32
+        acc = _win_pack(xf, Q * T, W, win, C)        # residual, fp32
     else:
-        acc = jnp.zeros((M, C), jnp.float32)
+        acc = jnp.zeros((Q * M, C), jnp.float32)
 
-    # ONE full-width qkv matmul [M, C] @ [C, 3C] — per-head matmuls
+    # ONE full-width qkv matmul [Q*M, C] @ [C, 3C] — per-head matmuls
     # (N = d = 56 lanes) waste >half the MXU; head q/k/v are lane slices
     qkv = jax.lax.dot_general(
         xw, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bqkv_ref[0]
-    qkv = qkv.astype(dtype)                          # [M, 3C]
+    qkv = qkv.astype(dtype)                          # [Q*M, 3C]
 
     group_outs = []
-    for g in range(G):
+    for g in range(Q * G):
+        qi, mg = g // G, g % G                       # image, mask group
         s = slice(g * P * n, (g + 1) * P * n)
         head_outs = []
         for hh in range(h):
@@ -131,7 +134,7 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
                 preferred_element_type=jnp.float32) * scale
             logits = logits + bias_ref[0, hh]
             if has_mask:
-                logits = logits + mask_ref[0, g]
+                logits = logits + mask_ref[0, mg]
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits)
             # normalize AFTER e@v: (e@v)/Z == (e/Z)@v exactly, but the
@@ -145,22 +148,23 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
             if has_lam:
                 # all_DC rank-1 modulation (models/uformer_blocks.py:293):
                 # out' = (1+lam)*out - (lam/n) * sum_m v[m]
-                lam = lam_ref[0, 0, hh]              # per-image scalar
+                lam = lam_ref[qi, 0, hh]             # per-image scalar
                 vs = jnp.sum(v.astype(jnp.float32).reshape(P, n, d),
                              axis=1)                 # [P, d]
                 og = ((1.0 + lam) * og.reshape(P, n, d)
                       - (lam / n) * vs[:, None, :]).reshape(P * n, d)
             head_outs.append(og.astype(dtype))
         group_outs.append(jnp.concatenate(head_outs, axis=1))  # [P*n, C]
-    out_all = jnp.concatenate(group_outs, axis=0)    # [M, C]
+    out_all = jnp.concatenate(group_outs, axis=0)    # [Q*M, C]
 
-    # ONE full-width output projection [M, C] @ [C, C]
+    # ONE full-width output projection [Q*M, C] @ [C, C]
     acc = acc + jax.lax.dot_general(
         out_all, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     acc = acc + bp_ref[0]
-    out_ref[0] = _win_unpack(acc, T, W, win, C).astype(out_ref.dtype)
+    out_ref[...] = (_win_unpack(acc, Q * T, W, win, C)
+                    .reshape(Q, T, W, C).astype(out_ref.dtype))
 
 
 def _pack_bias_np(P: int, n: int) -> np.ndarray:
@@ -212,6 +216,22 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     G = nw_tile // P
     nI = H // T
 
+    # Q-packing: at the deep low-res stages a grid step is only
+    # M = nw_tile*n = 64-512 rows — a fraction of an MXU pass — so pack Q
+    # whole images per grid step (windows never span images because
+    # T % win == 0; masks repeat per image; lam stays per-image via
+    # lam_ref[q]). Target Q*M <= FAIRM_ATTN_Q rows (default 512) with the
+    # fp32 token copies capped at 8 MB; Q=1 at res >= 64 by construction.
+    M = nw_tile * n
+    q_rows = int(os.environ.get("FAIRM_ATTN_Q", "512"))
+    q_imgs = B // bias_groups          # images per band (band-major batch)
+    Q = 1
+    for cand in range(min(B, max(1, q_rows // M)), 1, -1):
+        if (q_imgs % cand == 0 and cand * M <= q_rows
+                and 6 * cand * T * W * C * 4 <= (8 << 20)):
+            Q = cand
+            break
+
     has_mask = mask is not None
     has_lam = lam is not None
 
@@ -235,7 +255,7 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
         imgs_per_band = B // bias_groups
         bias_spec = pl.BlockSpec(
             (1, h, P * n, P * n),
-            lambda b, i: (b // imgs_per_band, 0, 0, 0),
+            lambda b, i: ((b * Q) // imgs_per_band, 0, 0, 0),
             memory_space=pltpu.VMEM)
     else:
         bias_spec = pl.BlockSpec((1, h, P * n, P * n),
@@ -264,11 +284,12 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                                  memory_space=pltpu.VMEM)
 
     if has_lam:
-        # [B, 1, h]: the leading batch dim is indexed by the grid; the
-        # trailing (1, h) block equals the array dims (Mosaic requires
-        # last-two block dims divisible by (8, 128) or full)
+        # [B, 1, h]: the leading batch dim is indexed by the grid (Q rows
+        # per block under Q-packing); the trailing (1, h) block equals the
+        # array dims (Mosaic requires last-two block dims divisible by
+        # (8, 128) or full)
         lam_arr = lam.astype(jnp.float32).reshape(B, 1, h)
-        lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (b, 0, 0),
+        lam_spec = pl.BlockSpec((Q, 1, h), lambda b, i: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
         lam_arr = jnp.zeros((1, 1, h), jnp.float32)
@@ -277,16 +298,16 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
 
     wqkv, bqkv, wp = wqkv_full, bqkv_full, wp_full
     kernel = functools.partial(
-        _attn_kernel, T=T, W=W, C=C, h=h, win=win, P=P, eps=eps,
+        _attn_kernel, T=T, W=W, C=C, h=h, win=win, P=P, Q=Q, eps=eps,
         has_mask=has_mask, has_lam=has_lam, ln=ln, res=res,
         dtype=x_img.dtype)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(B, nI),
+        grid=(B // Q, nI),
         in_specs=[
-            pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((Q, T, W, C), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             vspec(1, C), vspec(1, C),                          # ln
             vspec(C, 3 * C), vspec(1, 3 * C),                  # qkv
@@ -294,7 +315,7 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
             bias_spec,
             mask_spec, lam_spec,
         ],
-        out_specs=pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((Q, T, W, C), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x_img.dtype),
         interpret=interpret,

@@ -65,6 +65,45 @@ def test_attention_half_all_dc_lam(rng):
                                rtol=5e-5, atol=5e-5)
 
 
+def test_attention_q_packing_shift_mask_multi_tile(rng, monkeypatch):
+    """Q-packing (several whole images per grid step) with nI > 1 row
+    tiles AND an SW-MSA shift mask: forcing T=win via a zero tile budget
+    gives grid (B/Q, nI) = (2, 4); mask groups must repeat per image
+    (mask_ref[g % G]) and stay aligned to the row tile."""
+    monkeypatch.setenv("FAIRM_ATTN_T_MB", "0")    # T = win -> nI = 4
+    monkeypatch.setenv("FAIRM_ATTN_Q", "512")
+    args = _attn_args(rng, B=4, H=32, W=32, C=16, h=2)
+    mask = jnp.asarray(win_ops.shift_attn_mask(32, 32, 8, 4))
+    lam = jnp.asarray(rng.standard_normal((4, 2)).astype(np.float32)) * 0.3
+    got = lb.fused_block_attention(*args, mask, lam, 8, 1e-6, True)
+    want = lb._xla_block_attention(*args, mask, lam, 8, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_freq_intra_q_packing_band_alignment(rng, monkeypatch):
+    """Q-packing on the banded intra path: Q must divide images-per-band
+    and the bias block index must follow the FIRST image of the block
+    ((b*Q)//imgs_per_band). L=2 bands x 4 images, 8x8 -> M=64, Q=4."""
+    monkeypatch.setenv("FAIRM_ATTN_Q", "512")
+    L, B, h, win = 2, 4, 2, 8
+    C, H = 16, 8
+    n = win * win
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x = mk(L * B, H, H, C) * 0.5
+    lns, lnb = 1.0 + 0.1 * mk(C), 0.1 * mk(C)
+    d = C // h
+    qkv = [t for _ in range(3) for t in (mk(h, C, d) * 0.2, mk(h, d) * 0.1)]
+    wp3, bp = mk(h, d, C) * 0.2, mk(C) * 0.1
+    biasA = mk(L, h, n, n) * 0.05
+    got = lb.fused_freq_intra(x, lns, lnb, *qkv, wp3, bp, biasA, None,
+                              L, win, 1e-6, True)
+    want = lb._xla_freq_intra(x, lns, lnb, *qkv, wp3, bp, biasA, None,
+                              L, win, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_attention_half_grads(rng):
     args = _attn_args(rng, B=1, H=16, W=16, C=8, h=1)
     lam = jnp.asarray(rng.standard_normal((1, 1)).astype(np.float32)) * 0.3

@@ -91,24 +91,25 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--patch", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--one", nargs=2, metavar=("P", "TMB"))
+    ap.add_argument("--one", nargs=3, metavar=("P", "TMB", "Q"))
     ap.add_argument("--grid", default=None,
-                    help="semicolon list of P,TMB combos")
+                    help="semicolon list of P,TMB,Q combos")
     args = ap.parse_args()
 
     if args.one:
-        p_, tmb = args.one
+        p_, tmb, q_ = args.one
         os.environ["FAIRM_ATTN_P"] = p_
         os.environ["FAIRM_ATTN_T_MB"] = tmb
+        os.environ["FAIRM_ATTN_Q"] = q_
         run_one(args)
         return
 
     combos = (args.grid.split(";") if args.grid else
-              ["1,4", "2,4", "2,8"])
+              ["1,4,512", "2,4,512", "2,8,512", "2,4,0"])
     for combo in combos:
-        p_, tmb = combo.split(",")
+        p_, tmb, q_ = combo.split(",")
         cmd = [sys.executable, os.path.abspath(__file__), "--one",
-               p_, tmb,
+               p_, tmb, q_,
                "--batch", str(args.batch), "--iters", str(args.iters),
                "--reps", str(args.reps), "--patch", str(args.patch),
                "--dtype", args.dtype]
@@ -116,7 +117,7 @@ def main():
                            timeout=3600)
         line = [ln for ln in r.stdout.splitlines() if "RESULT" in ln]
         tail = line[-1] if line else (r.stdout + r.stderr)[-200:]
-        print(f"P={p_} TMB={tmb}  {tail}", flush=True)
+        print(f"P={p_} TMB={tmb} Q={q_}  {tail}", flush=True)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--patch", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--phase", choices=["encoder", "joint", "both"],
+                    default="both")
     args = ap.parse_args()
 
     from frequency_wised_all_in_one_image_restoration_model_tpu import config
@@ -56,7 +59,7 @@ def main():
     )
     # batch_size is CLI-derived (= len(de_type), option.py:76); the probe
     # sweeps it independently
-    cfg = dataclasses.replace(cfg, batch_size=args.batch)
+    cfg = dataclasses.replace(cfg, batch_size=args.batch, remat=args.remat)
     bundle = build_models(cfg, eval_mode=False)
     B, p = args.batch, args.patch
     rng = np.random.default_rng(0)
@@ -69,7 +72,10 @@ def main():
 
     n_px = B * p * p / 1e6
 
-    for name, joint in (("encoder-phase", False), ("joint", True)):
+    phases = {"encoder": (("encoder-phase", False),),
+              "joint": (("joint", True),),
+              "both": (("encoder-phase", False), ("joint", True))}
+    for name, joint in phases[args.phase]:
         step = steps.make_train_step(cfg, bundle, joint=joint)
 
         def chained(state, batch):
