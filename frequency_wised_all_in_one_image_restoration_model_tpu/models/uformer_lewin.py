@@ -25,6 +25,7 @@ Shift masks are trace-time constants; the cyclic roll is ``jnp.roll``.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -329,13 +330,26 @@ class BasicUformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x, inter=None, inter_kv=None, all_inter=None,
                  deterministic: bool = True):
-        kv = None
         dp = list(self.drop_path) or [0.0] * self.depth
         # --remat: jax.checkpoint each block — backward recomputes the
         # block forward instead of keeping intra-stage activations alive.
         # Lifted transform, so param naming (and checkpoints) are unchanged.
-        block_cls = (nn.remat(LeWinBlock, static_argnums=(5,))
-                     if self.remat else LeWinBlock)
+        # The fused kernels get half their row-tile budget while the
+        # rematted blocks trace (jax.checkpoint shrinks the scoped-VMEM
+        # headroom ~1% past the limit at res 128, measured on v5e).
+        block_cls = LeWinBlock
+        ctx = contextlib.nullcontext()
+        if self.remat:
+            from ..ops.pallas.lewin_block import remat_tile_headroom
+            block_cls = nn.remat(LeWinBlock, static_argnums=(5,))
+            ctx = remat_tile_headroom()
+        with ctx:
+            return self._run_blocks(block_cls, dp, x, inter, inter_kv,
+                                    all_inter, deterministic)
+
+    def _run_blocks(self, block_cls, dp, x, inter, inter_kv, all_inter,
+                    deterministic):
+        kv = None
         for i in range(self.depth):
             shift = (self.win_size // 2
                      if (self.shift_flag and i % 2 == 1) else 0)

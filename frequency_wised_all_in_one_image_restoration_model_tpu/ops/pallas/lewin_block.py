@@ -40,6 +40,7 @@ matmul gradients stay XLA either way, they are already MXU-shaped).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -173,12 +174,48 @@ def _pack_bias_np(P: int, n: int) -> np.ndarray:
     return np.where(row_win == col_win, 0.0, -1e9).astype(np.float32)
 
 
-def _choose_t(H: int, W: int, win: int, C: int) -> int:
+_REMAT_DEPTH = 0
+
+
+@contextlib.contextmanager
+def remat_tile_headroom():
+    """Halve the row-tile budgets while tracing rematerialized blocks.
+
+    Measured on v5e (VALIDATION.md r3): under ``jax.checkpoint`` the
+    res-128 attention kernel's scoped-VMEM allocation lands 1.1% over
+    the 16 MB limit with the default budget; half the budget (= the
+    validated ``FAIRM_ATTN_T_MB=2`` operating point) compiles and runs
+    at equal throughput. UformerLayer enters this around its block loop
+    when ``remat`` is on."""
+    global _REMAT_DEPTH
+    _REMAT_DEPTH += 1
+    try:
+        yield
+    finally:
+        _REMAT_DEPTH -= 1
+
+
+def _tile_budget(default_mb: int, env_key: str, itemsize: int) -> int:
+    """Row-tile byte budget. An explicit env override is taken verbatim;
+    otherwise the default is scaled down for 4-byte operands (the
+    input/qkv/out blocks double, measured 548 KB over the scoped-VMEM
+    limit in fp32 at res 128) and halved under remat (see
+    :func:`remat_tile_headroom`)."""
+    env = os.environ.get(env_key)
+    if env is not None:
+        return int(env) << 20
+    budget = (default_mb << 20) * 2 // itemsize
+    if _REMAT_DEPTH:
+        budget //= 2
+    return budget
+
+
+def _choose_t(H: int, W: int, win: int, C: int, itemsize: int = 2) -> int:
     """Rows per tile: multiples of win; grow while the packed fp32 token
     copies (~6 of [M, C] across LN/residual/per-head temporaries) stay
     under ~4 MB of kernel stack (measured: 6 MB put the encoder stage-0
     intra call 388 KB over the 16 MB scoped-VMEM limit)."""
-    budget = int(os.environ.get("FAIRM_ATTN_T_MB", "4")) << 20
+    budget = _tile_budget(4, "FAIRM_ATTN_T_MB", itemsize)
     t = win
     while (t * 2 <= H and H % (t * 2) == 0
            and 6 * (t * 2) * W * C * 4 <= budget):
@@ -199,7 +236,7 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     h = wq3.shape[0]
     n = win * win
     nw_row = W // win
-    T = _choose_t(H, W, win, C)
+    T = _choose_t(H, W, win, C, jnp.dtype(x_img.dtype).itemsize)
     nw_tile = (T // win) * nw_row
     # Windows packed per logits matmul: more windows -> fewer, larger MXU
     # ops in the serial group loop, at the cost of P^2-n^2 wasted
@@ -504,8 +541,8 @@ def _ffn_kernel(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref, w1_ref,
     out_ref[...] = y.reshape(1, T, W, C).astype(out_ref.dtype)
 
 
-def _ffn_choose_t(H: int, W: int, Hd: int) -> int:
-    budget = 4 << 20
+def _ffn_choose_t(H: int, W: int, Hd: int, itemsize: int = 2) -> int:
+    budget = _tile_budget(4, "FAIRM_FFN_T_MB", itemsize)
     t = H
     while t > 1 and 3 * (t + 2) * (W + 2) * Hd * 4 > budget:
         for dd in range(t // 2, 0, -1):
@@ -522,7 +559,7 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
     interpret = _resolve_interpret(interpret)
     B, H, W, C = x_img.shape
     Hd = w1.shape[1]
-    T = _ffn_choose_t(H, W, Hd)
+    T = _ffn_choose_t(H, W, Hd, jnp.dtype(x_img.dtype).itemsize)
     nI = H // T
     dtype = x_img.dtype
     w1 = w1.astype(dtype)
@@ -804,11 +841,14 @@ def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
     nw_row = W // win
 
     # rows per tile: the per-window (L*n)^2 logits/probs pairs dominate
-    # the kernel stack; keep ~nw * 2 * (Ln)^2 * 4 under ~5 MB
+    # the kernel stack; keep ~nw * 2 * (Ln)^2 * 4 under ~5 MB (scaled
+    # down for fp32 operands / remat headroom like the other choosers)
+    inter_budget = _tile_budget(5, "FAIRM_INTER_T_MB",
+                                jnp.dtype(y_img.dtype).itemsize)
     T = win
     while (T * 2 <= H and H % (T * 2) == 0
            and ((T * 2) // win) * nw_row * 2 * (L * n) ** 2 * 4
-           <= (5 << 20)):
+           <= inter_budget):
         T *= 2
     nI = H // T
     nw = (T // win) * nw_row

@@ -104,6 +104,26 @@ def test_freq_intra_q_packing_band_alignment(rng, monkeypatch):
                                rtol=5e-5, atol=5e-5)
 
 
+def test_tile_budget_dtype_and_remat_scaling(monkeypatch):
+    """Row-tile budgets must shrink for 4-byte operands (fp32 at the
+    default bf16 tiling measured 548 KB over the 16 MB scoped-VMEM limit
+    at res 128 on v5e) and halve under remat_tile_headroom() (remat
+    measured 179 KB over); an explicit env override is taken verbatim."""
+    monkeypatch.delenv("FAIRM_ATTN_T_MB", raising=False)
+    t_bf16 = lb._choose_t(128, 128, 8, 28, itemsize=2)
+    t_fp32 = lb._choose_t(128, 128, 8, 28, itemsize=4)
+    assert t_bf16 == 32 and t_fp32 == 16          # flagship res-128 stage
+    with lb.remat_tile_headroom():
+        assert lb._choose_t(128, 128, 8, 28, itemsize=2) == t_bf16 // 2
+        # nesting keeps the halving (one step, not compounding per level)
+        with lb.remat_tile_headroom():
+            assert lb._choose_t(128, 128, 8, 28, itemsize=2) == t_bf16 // 2
+    assert lb._choose_t(128, 128, 8, 28, itemsize=2) == t_bf16  # restored
+    monkeypatch.setenv("FAIRM_ATTN_T_MB", "4")
+    with lb.remat_tile_headroom():
+        assert lb._choose_t(128, 128, 8, 28, itemsize=4) == t_bf16
+
+
 def test_attention_half_grads(rng):
     args = _attn_args(rng, B=1, H=16, W=16, C=8, h=1)
     lam = jnp.asarray(rng.standard_normal((1, 1)).astype(np.float32)) * 0.3
