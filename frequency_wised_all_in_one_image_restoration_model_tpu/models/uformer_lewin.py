@@ -86,8 +86,17 @@ class LeWinBlock(nn.Module):
         # the flagship decoder configuration. Parameter tree is identical
         # to the unfused path (twin modules), so checkpoints/transplants
         # are path-independent (tests/test_uformer.py fused-parity).
+        # stage-level fit: fp32 at the deepest dims can't hold the fused
+        # kernels' full-width weights in scoped VMEM (measured, see
+        # ops/pallas/lewin_block.py::block_kernels_fit) -> unfused path
+        from ..ops.pallas.lewin_block import block_kernels_fit
+        kernels_fit = block_kernels_fit(
+            self.dim, int(self.dim * self.mlp_ratio),
+            jnp.dtype(self.dtype).itemsize)
+
         fused_ok = (
             use_fused_block()
+            and kernels_fit
             and self.msa_type == "origin"
             and self.token_projection == "linear"
             and self.token_mlp not in ("ffn", "mlp")
@@ -147,6 +156,7 @@ class LeWinBlock(nn.Module):
         # ---- fused frequency-MSA path (encoder flagship) ----------------
         fused_freq_ok = (
             use_fused_block()
+            and kernels_fit
             and self.msa_type == "freq"
             and self.token_projection == "linear"
             and self.token_mlp not in ("ffn", "mlp")

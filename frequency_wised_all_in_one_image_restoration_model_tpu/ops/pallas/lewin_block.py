@@ -210,6 +210,20 @@ def _tile_budget(default_mb: int, env_key: str, itemsize: int) -> int:
     return budget
 
 
+def block_kernels_fit(C: int, Hd: int, itemsize: int) -> bool:
+    """Whether the fused block kernels' T-independent VMEM residents —
+    the full-width weight mats they hold on-stack — leave room under the
+    16 MB scoped-VMEM limit. At the deepest decoder stage (C=896,
+    Hd=3584) the fp32 FFN weights alone are 24.6 MB (measured 8.5 MB
+    over on v5e) and the fp32 qkv+proj mats are 12.8 MB, so fp32 falls
+    back to the unfused path there (which uses the per-head
+    window-attention kernel); the bf16 flagship configuration (FFN
+    weights 12.85 MB, benched) stays fused at every stage."""
+    attn_w = 4 * C * C * itemsize            # [C, 3C] qkv + [C, C] proj
+    ffn_w = 2 * C * Hd * itemsize + 9 * Hd * 4
+    return attn_w <= (12 << 20) and ffn_w <= (13 << 20)
+
+
 def _choose_t(H: int, W: int, win: int, C: int, itemsize: int = 2) -> int:
     """Rows per tile: multiples of win; grow while the packed fp32 token
     copies (~6 of [M, C] across LN/residual/per-head temporaries) stay

@@ -124,6 +124,18 @@ def test_tile_budget_dtype_and_remat_scaling(monkeypatch):
         assert lb._choose_t(128, 128, 8, 28, itemsize=4) == t_bf16
 
 
+def test_block_kernels_fit_deep_stage_fp32():
+    """Stage-level fit predicate, pinned at the on-chip-measured points:
+    the deepest decoder stage (C=896, Hd=3584) holds 24.6 MB of fp32 FFN
+    weights (8.5 MB over scoped VMEM on v5e) and 12.8 MB of fp32
+    qkv+proj — fp32 must fall back there; bf16 (12.85 MB FFN weights,
+    the benched flagship) and the shallow fp32 stages stay fused."""
+    assert not lb.block_kernels_fit(896, 3584, 4)   # fp32 deep: measured OOM
+    assert lb.block_kernels_fit(896, 3584, 2)       # bf16 deep: benched
+    assert lb.block_kernels_fit(28, 112, 4)         # fp32 res-128 stage
+    assert lb.block_kernels_fit(448, 1792, 4)       # fp32 mid stage
+
+
 def test_attention_half_grads(rng):
     args = _attn_args(rng, B=1, H=16, W=16, C=8, h=1)
     lam = jnp.asarray(rng.standard_normal((1, 1)).astype(np.float32)) * 0.3
