@@ -479,13 +479,54 @@ def _attn_fwd(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                  bias, mask, lam)
 
 
+def _cast_like(grads, primals):
+    return tuple(None if g_ is None else g_.astype(p.dtype)
+                 for g_, p in zip(grads, primals))
+
+
+def _attn_bwd_supported(x_img, mask, win: int, bias_groups: int = 1):
+    """Static decision for the fused backward kernel — batch-independent,
+    so the global decision holds for every batch-sharded local shape."""
+    from .lewin_block_bwd import attn_bwd_fits, use_bwd_kernel
+
+    B, H, W, C = x_img.shape
+    if not use_bwd_kernel() or H % win or W % win or B % bias_groups:
+        return False
+    if mask is not None and mask.shape[0] != (H // win) * (W // win):
+        return False
+    return attn_bwd_fits(C, win, W, jnp.dtype(x_img.dtype).itemsize)
+
+
 def _attn_bwd(win, eps, interpret, res, g):
     (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias, mask,
      lam) = res
-    rk = _use_fused_bwd()
     itp = _resolve_interpret(interpret)
-    diff = (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias)
     dmask = None if mask is None else jnp.zeros_like(mask)
+
+    if _attn_bwd_supported(x_img, mask, win):
+        from .lewin_block_bwd import attn_block_bwd
+
+        impl = functools.partial(attn_block_bwd, win=win, eps=eps,
+                                 interpret=itp, res=True, bias_groups=1)
+        packed = (lambda *a: impl(*a)[:12]) if lam is None else impl
+        grads = _spmd_call(
+            packed,
+            [(x_img, 0), (g, 0), (lns, None), (lnb, None), (wq3, None),
+             (bq3, None), (wk3, None), (bk3, None), (wv3, None),
+             (bv3, None), (wp3, None), (bp, None), (bias, None),
+             (mask, None), (lam, 0 if lam is not None else None)],
+            out_batch_dims=(0,) + (None,) * 11
+            + (() if lam is None else (0,)),
+            reduced_out=tuple(range(1, 12)))
+        grads = _cast_like(
+            grads, (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                    bp, bias) + (() if lam is None else (lam,)))
+        dx_rest = grads[:12]
+        dlam = None if lam is None else grads[12]
+        return dx_rest + (dmask, dlam)
+
+    rk = _use_fused_bwd()
+    diff = (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias)
     if lam is None:
         _, vjp = jax.vjp(
             lambda *a: _xla_block_attention(*a, mask, None, win, eps,
@@ -652,6 +693,28 @@ def _ffn_fwd(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps, interpret):
 
 def _ffn_bwd(eps, interpret, res, g):
     x_img, lns, lnb, w1, b1, wd, bd, w2, b2 = res
+    from .lewin_block_bwd import (ffn_bwd_fits, _ffn_bwd_choose_t,
+                                  use_bwd_kernel)
+
+    B, H, W, C = x_img.shape
+    Hd = w1.shape[1]
+    itemsize = jnp.dtype(x_img.dtype).itemsize
+    t = _ffn_bwd_choose_t(H, W, Hd, itemsize)
+    if (use_bwd_kernel() and ffn_bwd_fits(C, Hd, W, itemsize)
+            and t >= 2 and H % t == 0):
+        from .lewin_block_bwd import ffn_block_bwd
+
+        itp = _resolve_interpret(interpret)
+        impl = functools.partial(ffn_block_bwd, eps=eps, interpret=itp)
+        grads = _spmd_call(
+            impl,
+            [(x_img, 0), (g, 0), (lns, None), (lnb, None), (w1, None),
+             (b1, None), (wd, None), (bd, None), (w2, None), (b2, None)],
+            out_batch_dims=(0,) + (None,) * 8,
+            reduced_out=tuple(range(1, 9)))
+        return _cast_like(grads,
+                          (x_img, lns, lnb, w1, b1, wd, bd, w2, b2))
+
     _, vjp = jax.vjp(lambda *a: _xla_block_ffn(*a, eps),
                      x_img, lns, lnb, w1, b1, wd, bd, w2, b2)
     return vjp(g)
@@ -768,13 +831,31 @@ def _freq_intra_fwd(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
 def _freq_intra_bwd(L, win, eps, interpret, res, g):
     (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasA,
      mask) = res
-    rk = _use_fused_bwd()
     itp = _resolve_interpret(interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+
+    # fused backward kernel (band-folded batch is NOT batch-partitioned,
+    # matching the forward: bands are batch-major and a shard boundary
+    # could not know its band offset for the per-band bias tables)
+    if _attn_bwd_supported(x_img, mask, win, bias_groups=L):
+        from .lewin_block_bwd import attn_block_bwd
+
+        grads = attn_block_bwd(x_img, g, lns, lnb, wq3, bq3, wk3, bk3,
+                               wv3, bv3, wp3, bp, biasA, mask, None,
+                               win=win, eps=eps, interpret=itp,
+                               res=False, bias_groups=L)
+        if grads is not None:
+            grads = _cast_like(
+                grads[:12],
+                (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+                 biasA))
+            return grads + (dmask,)
+
+    rk = _use_fused_bwd()
     diff = (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasA)
     _, vjp = jax.vjp(
         lambda *a: _xla_freq_intra(*a, mask, L, win, eps,
                                    route_kernel=rk, interpret=itp), *diff)
-    dmask = None if mask is None else jnp.zeros_like(mask)
     return vjp(g) + (dmask,)
 
 
@@ -994,9 +1075,24 @@ def _freq_inter_fwd(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
 def _freq_inter_bwd(L, win, eps, interpret, res, g):
     (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasB,
      mask) = res
+    itp = _resolve_interpret(interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+
+    from .lewin_block_bwd import freq_inter_bwd, use_bwd_kernel
+    if use_bwd_kernel():
+        grads = freq_inter_bwd(y_img, g, wq3, bq3, wk3, bk3, wv3, bv3,
+                               wp3, bp, biasB, mask, L, win, itp)
+        if grads is not None:
+            # the residual passes g straight through: dres = g
+            dres = g.astype(res_img.dtype)
+            grads = _cast_like(
+                (grads[0], dres) + grads[1:],
+                (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+                 biasB))
+            return grads + (dmask,)
+
     diff = (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasB)
     rk = _use_fused_bwd()
-    itp = _resolve_interpret(interpret)
     _, vjp = jax.vjp(
         lambda *a: _xla_freq_inter(*a, mask, L, win, eps,
                                    route_kernel=rk, interpret=itp), *diff)
