@@ -59,6 +59,12 @@ class ModelBundle:
 def build_models(cfg: Config, eval_mode: bool = False) -> ModelBundle:
     """Select encoder/decoder classes by config (reference model.py:17,31)."""
     dtype = model_dtype(cfg, eval_mode)
+    if eval_mode and cfg.remat:
+        # remat only pays in the backward (jax.checkpoint is the identity
+        # for a forward-only trace) but remat_tile_headroom() would halve
+        # the fused kernels' row-tile budgets at trace time — never let an
+        # eval build pay that
+        cfg = dataclasses.replace(cfg, remat=False)
 
     if cfg.encoder_type == "ResNet":
         encoder = ResNetEncoder(dim=cfg.encoder_dim, dtype=dtype)

@@ -91,6 +91,24 @@ def test_remat_step_matches_plain():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_eval_build_never_remats():
+    """Eval builds must drop cfg.remat: jax.checkpoint is the identity for
+    a forward-only trace, but remat_tile_headroom() would halve the fused
+    kernels' row-tile budgets at trace time (a pure eval-perf loss)."""
+    import dataclasses as _dc
+
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.airnet import build_models
+
+    cfg = config.make_config(
+        de_type=["deraining"], test_de_type=["deraining"],
+        encoder_type="Uformer", decoder_type="Uformer",
+        encoder_embed_dim=8, embed_dim=16, encoder_dim=32, L=3,
+        patch_size=32, crop_test_imgs_size=32)
+    cfg = _dc.replace(cfg, remat=True)
+    assert build_models(cfg, eval_mode=True).cfg.remat is False
+    assert build_models(cfg, eval_mode=False).cfg.remat is True
+
+
 def test_retention_policy(tmp_path):
     import jax
     import jax.numpy as jnp
