@@ -41,6 +41,9 @@ def model_dtype(cfg: Config, eval_mode: bool = False) -> jnp.dtype:
 class ModelBundle:
     """Encoder + decoder modules plus the glue the train/eval steps need."""
 
+    # NOTE: for eval bundles, cfg is NOT the caller's config verbatim —
+    # build_models forces remat=False on it (see below), so never reuse an
+    # eval bundle's cfg to build a train step (ADVICE r3)
     cfg: Config
     encoder: Any
     decoder: Any

@@ -54,6 +54,19 @@ def restore(ckpt_path: str, epoch: int, template: TrainState) -> TrainState:
                                   template, restored)
 
 
+def has_epoch(ckpt_path: str, epoch: int) -> bool:
+    return os.path.isdir(_ckpt_dir(ckpt_path, epoch))
+
+
+def select_eval_epoch(ckpt_path: str, requested: int) -> Optional[int]:
+    """Pick the checkpoint epoch for evaluation: the requested epoch when
+    ``ckpt/epoch_<requested>`` exists (reference test.py:92-94 evaluates the
+    named epoch), else the newest one, else None (no checkpoints at all)."""
+    if has_epoch(ckpt_path, requested):
+        return requested
+    return latest_epoch(ckpt_path)
+
+
 def latest_epoch(ckpt_path: str) -> Optional[int]:
     if not os.path.isdir(ckpt_path):
         return None

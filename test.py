@@ -26,9 +26,11 @@ def main(cfg):
     loader = build_train_loader(cfg, seed=cfg.seed)
     state = create_train_state(cfg, bundle, jax.random.PRNGKey(cfg.seed),
                                loader.next_batch())
-    if ckpt_lib.latest_epoch(cfg.ckpt_path) is not None:
-        epoch = (cfg.epochs if cfg.epochs == ckpt_lib.latest_epoch(cfg.ckpt_path)
-                 else ckpt_lib.latest_epoch(cfg.ckpt_path))
+    epoch = ckpt_lib.select_eval_epoch(cfg.ckpt_path, cfg.epochs)
+    if epoch is not None:
+        if epoch != cfg.epochs:
+            print(f"checkpoint epoch_{cfg.epochs} not found; "
+                  f"falling back to latest epoch_{epoch}")
         state = ckpt_lib.restore(cfg.ckpt_path, epoch, state)
         print(f"loaded checkpoint epoch_{epoch}")
 

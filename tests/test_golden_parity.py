@@ -180,6 +180,56 @@ def test_gaussian_ssim_golden(rng):
     assert abs(t_val - j_val) < 1e-4
 
 
+def test_dgrn_decoder_golden(rng):
+    """Full composed DGRN (head -> 5 DGG x 5 DGB -> tail, decoder_DGRN.py:
+    113-158) via weight transplant.
+
+    The reference ships its DCN forward as ``assert False``
+    (deform_conv.py:64), so the torch side gets a mathematically-equivalent
+    stand-in instead of a stub: with the reference's own zero-initialized
+    offset head (deform_conv.py:52-54) the offsets are exactly 0 and the
+    modulation mask is exactly sigmoid(0)=0.5, so the modulated deformable
+    conv it *would* compute reduces to ``0.5 * conv2d`` exactly. Our side
+    runs the real gather-composite DCN path unmodified — this pins the whole
+    50-block composition INCLUDING our deformable-conv branch at the
+    zero-offset point."""
+    import torch.nn.functional as F
+    from net.decoder_DGRN import DGRN as TorchDGRN
+    from net.utils.deform_conv import DCN_layer
+    from option import options as opt
+    opt.encoder_type = "ResNet"
+    opt.encoder_dim = 32  # -> n_feats = 8 (decoder_DGRN.py:120-121)
+
+    def dcn_forward_zero_offset(self, input_feat, inter):
+        om = self.conv_offset_mask(torch.cat([input_feat, inter], dim=1))
+        assert float(om.abs().max()) == 0.0, "offset head must be zero-init"
+        return 0.5 * F.conv2d(input_feat, self.weight, self.bias,
+                              self.stride, self.padding)
+
+    old_fwd = DCN_layer.forward
+    DCN_layer.forward = dcn_forward_zero_offset
+    try:
+        tnet = TorchDGRN(opt).eval()
+        sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+        x = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+        inter = rng.standard_normal((2, 16, 16, 8)).astype(np.float32) * 0.1
+        with torch.no_grad():
+            t_out = tnet(_to_torch(x), _to_torch(inter))
+    finally:
+        DCN_layer.forward = old_fwd
+
+    import jax.numpy as jnp
+    from frequency_wised_all_in_one_image_restoration_model_tpu.models.decoder_dgrn import (
+        DGRN)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.utils.torch_weights import (
+        dgrn_decoder_from_torch)
+    variables = dgrn_decoder_from_torch(sd, groups=5, blocks=5)
+    out = DGRN(n_feats=8, n_groups=5, n_blocks=5).apply(
+        variables, jnp.asarray(x), jnp.asarray(inter))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               t_out.numpy(), rtol=1e-3, atol=1e-3)
+
+
 def test_vit_encoder_golden(rng):
     """Full ViT encoder output parity via weight transplant
     (encoder_ViT.py:119-203)."""
