@@ -126,8 +126,13 @@ class Config:
     ckpt_every: int = 0              # periodic full-state checkpoints (0 = final epoch only)
     # rematerialize each LeWin block in backward (jax.checkpoint at block
     # granularity): trades ~1 extra forward of FLOPs for dropping all
-    # intra-stage activations — for when flagship dims/batch outgrow HBM
-    remat: bool = False
+    # intra-stage activations. DEFAULT ON for training since r4: on-chip
+    # the flagship joint step measured equal-or-better throughput at HALF
+    # the peak memory (VALIDATION.md r3: 15.5 -> 8.9 GiB at 2x batch),
+    # which is what lets the batch sweep reach MXU-efficient sizes.
+    # --no_remat restores the eager-activations backward. Eval builds
+    # always drop it (models/airnet.py).
+    remat: bool = True
     dgrn_groups: int = 5             # DGRN depth (reference decoder_DGRN.py:117-118)
     dgrn_blocks: int = 5
 
@@ -258,7 +263,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process_id", type=int, default=0)
     p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--ckpt_every", type=int, default=0)
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", action="store_true", default=True)
+    p.add_argument("--no_remat", dest="remat", action="store_false")
     p.add_argument("--dgrn_groups", type=int, default=5)
     p.add_argument("--dgrn_blocks", type=int, default=5)
     return p

@@ -126,7 +126,10 @@ class LeWinBlock(nn.Module):
 
         if fused_ok:
             from ..ops.pallas.lewin_block import (fused_block_attention,
-                                                  fused_block_ffn)
+                                                  fused_block_ffn,
+                                                  fused_block_merged,
+                                                  merged_block_fits,
+                                                  use_merged_block)
 
             n1s, n1b = _LNParams(self.dim, name="norm1")()
             (wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias), lam = \
@@ -135,7 +138,29 @@ class LeWinBlock(nn.Module):
                     all_bands_dc=(self.all_bands_num is not None
                                   and self.all_bands_dc),
                     dtype=self.dtype, name="attn")(all_inter)
+            n2s, n2b = _LNParams(self.dim, name="norm2")()
+            hidden = int(self.dim * self.mlp_ratio)
+            w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
+                self.dim, hidden, name="mlp")()
+
+            # single-dispatch whole-block kernel (attention + FFN in one
+            # pallas_call, roll absorbed): the eval path. DropPath's lerp
+            # needs the halves separately, so training (drop_path > 0 and
+            # stochastic) keeps the half-kernel pair.
+            merged_ok = (
+                use_merged_block()
+                and (deterministic or self.drop_path == 0.0)
+                and merged_block_fits(self.dim, hidden,
+                                      jnp.dtype(self.dtype).itemsize, res,
+                                      win))
             img0 = to_image(x.astype(self.dtype), res, res)
+            if merged_ok:
+                out = fused_block_merged(
+                    img0, n1s, n1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                    bp, bias, attn_mask, lam, n2s, n2b, w1, b1, wd, bd,
+                    w2, b2, win, shift)
+                return to_tokens(out), None
+
             img = img0
             if shift > 0:
                 img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
@@ -146,10 +171,6 @@ class LeWinBlock(nn.Module):
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
             y = dp_lerp("drop_path1", img0, y)
 
-            n2s, n2b = _LNParams(self.dim, name="norm2")()
-            hidden = int(self.dim * self.mlp_ratio)
-            w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
-                self.dim, hidden, name="mlp")()
             y2 = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
             return to_tokens(dp_lerp("drop_path2", y, y2)), None
 

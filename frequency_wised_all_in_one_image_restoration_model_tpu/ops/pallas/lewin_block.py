@@ -1101,3 +1101,435 @@ def _freq_inter_bwd(L, win, eps, interpret, res, g):
 
 
 fused_freq_inter.defvjp(_freq_inter_fwd, _freq_inter_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Merged whole-block kernel: attention half + FFN half in ONE pallas_call
+# ---------------------------------------------------------------------------
+#
+# The pair of half-block kernels still round-trips HBM between the halves:
+# the attention kernel writes x+attn, the FFN kernel reads it back THREE
+# times (prev/cur/next halo BlockSpecs) and writes the block output — six
+# tile-volumes of HBM traffic per block plus two kernel dispatches. The
+# merged kernel streams each row tile through VMEM once: the attention
+# output never touches HBM (it is carried across grid steps in VMEM
+# scratch), the FFN conv halo comes from that scratch, and the SW-MSA
+# cyclic roll is absorbed into the tile assembly — the kernel consumes the
+# TRUE-layout image and produces the TRUE-layout block output, so shifted
+# blocks lose their two jnp.roll HBM round-trips as well. Net per block:
+# 2 tile-volumes of HBM traffic instead of 6 (8 for shifted blocks) and
+# one dispatch instead of two.
+#
+# Schedule (grid = (B, nI+1), sequential; nI = H/T row tiles):
+#   step i < nI : compute a_cur = x + attn(LN1(x)) for ROLLED tile i
+#                 (rolled rows [iT, iT+T) = true rows [iT+s, iT+T+s) =
+#                 cur_tile[s:] ++ next_tile[:s], next = tile (i+1) % nI,
+#                 columns rotated by -s — both as static slice concats).
+#   shift s = 0 : step i >= 1 emits TRUE tile i-1: FFN input rows
+#                 [jT-1, jT+T] = last_row ++ A_prev ++ a_cur[0:1].
+#   shift s > 0 : true row r = rolled row (r - s) mod H; step
+#                 1 <= i <= nI-1 emits TRUE tile i from rolled rows
+#                 [iT-s-1, iT+T-s] = A_prev[T-s-1:] ++ a_cur[:T-s+1]; the
+#                 wrap-around tile 0 (it needs the END of the rolled
+#                 image) is emitted at step nI from A_prev (= rolled tile
+#                 nI-1) and the stashed rolled tile 0 (f_ref, saved at
+#                 step 0).
+# Scratch: a_prev [T, W, C] (attn output of the previous rolled tile),
+# l1 [1, W, C] (s=0: last attn row of the tile before that), f [T, W, C]
+# (s>0: rolled tile 0 for the wrap). All in the model dtype so the merged
+# path is numerically identical to the half-kernel pair (which stores the
+# intermediate in HBM in model dtype).
+#
+# Reference behavior being fused: one LeWin block, encoder_Uformer.py:
+# 515-682 / decoder_Uformer.py:504-756 (W-MSA/SW-MSA + LeFF).
+
+
+def use_merged_block() -> bool:
+    """Gate for the single-dispatch whole-block kernel (eval path).
+    FAIRM_MERGED_BLOCK=0 restores the half-kernel pair for A/B."""
+    return (os.environ.get("FAIRM_MERGED_BLOCK", "1")
+            not in ("0", "false", "False"))
+
+
+def merged_block_fits(C: int, Hd: int, itemsize: int, W: int,
+                      win: int = 8) -> bool:
+    """Whether the merged kernel should take this stage: (a) its
+    T-independent VMEM residents (both halves' full-width weights +
+    packed bias) leave room for at least a win-row tile of both halves'
+    token copies under the 16 MB scoped-VMEM limit — the deepest decoder
+    stage (C=896, Hd=3584: 19.2 MB of bf16 weights) cannot; and (b) the
+    resolution is high enough for the merged kernel to WIN: on-chip A/B
+    (B=32, VALIDATION.md r4) shows 1.24-1.31x at res 128/64 but
+    0.81-0.91x at res 32/16, where the combined token budget forces
+    win-row tiles — the half-kernel pair with its larger per-half tiles
+    stays faster there."""
+    min_res = int(os.environ.get("FAIRM_MERGED_MIN_RES", "64"))
+    if W < min_res:
+        return False
+    weights = 4 * C * C * itemsize + 2 * C * Hd * itemsize + 9 * Hd * 4
+    t = win
+    tokens = 6 * t * W * C * 4 + 3 * (t + 2) * (W + 2) * Hd * 4
+    scratch = 4 * t * W * C * itemsize
+    return weights + tokens + scratch <= (12 << 20)
+
+
+def _merged_choose_t(H: int, W: int, C: int, Hd: int, win: int,
+                     itemsize: int) -> int:
+    """Largest row-tile T (multiple of win, dividing H) whose combined
+    attention + FFN fp32 token copies fit the merged budget."""
+    budget = _tile_budget(9, "FAIRM_MERGED_T_MB", itemsize)
+    t = win
+    while (t * 2 <= H and H % (t * 2) == 0
+           and (6 * (t * 2) * W * C * 4
+                + 3 * (t * 2 + 2) * (W + 2) * Hd * 4) <= budget):
+        t *= 2
+    return t
+
+
+def _cols_rot(v, s: int):
+    """Static column rotation: out[:, c] = v[:, (c + s) % W] (s may be
+    negative). Static slice concat, NOT jnp.roll — Mosaic's rotate lowers
+    poorly/fails for 16-bit data on hardware (VALIDATION.md r3, DCN)."""
+    W = v.shape[1]
+    s = s % W
+    if s == 0:
+        return v
+    return jnp.concatenate([v[:, s:], v[:, :s]], axis=1)
+
+
+def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                   wp_ref, bp_ref, bias_ref, mask_ref, lam_ref, ln2s_ref,
+                   ln2b_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
+                   b2_ref, out_ref, acur_ref, aprev_ref, l1_ref, f_ref, *,
+                   T: int, W: int, C: int, Hd: int, h: int, win: int,
+                   P: int, s: int, nI: int, eps: float, has_mask: bool,
+                   has_lam: bool, dtype):
+    i = pl.program_id(1)
+    n = win * win
+    nw_tile = (T // win) * (W // win)
+    G = nw_tile // P
+    d = C // h
+    scale = d ** -0.5
+
+    # ---- attention half: rolled tile i, SKIPPED at the extra grid step
+    # i == nI (the stale acur_ref content is never consumed where it
+    # matters — see the emit assembly below) ---------------------------
+    @pl.when(i < nI)
+    def _attn_half():
+        if s > 0:
+            xt = jnp.concatenate([xc_ref[0, s:T], xn_ref[0, :s]], axis=0)
+            xt = _cols_rot(xt, s)                    # [T, W, C] rolled
+        else:
+            xt = xc_ref[0]
+        xf = xt.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xn_ = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn_ = xn_ * ln1s_ref[0] + ln1b_ref[0]
+
+        xw = _win_pack(xn_.astype(dtype), T, W, win, C)  # [M, C]
+        acc = _win_pack(xf, T, W, win, C)                # residual, fp32
+
+        qkv = jax.lax.dot_general(
+            xw, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkv_ref[0]
+        qkv = qkv.astype(dtype)                          # [M, 3C]
+
+        group_outs = []
+        for g in range(G):
+            sl = slice(g * P * n, (g + 1) * P * n)
+            head_outs = []
+            for hh in range(h):
+                q = qkv[sl, hh * d:(hh + 1) * d]
+                k = qkv[sl, C + hh * d:C + (hh + 1) * d]
+                v = qkv[sl, 2 * C + hh * d:2 * C + (hh + 1) * d]
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                logits = logits + bias_ref[0, hh]
+                if has_mask:
+                    logits = logits + mask_ref[0, g]
+                logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+                e = jnp.exp(logits)
+                og = jax.lax.dot_general(
+                    e.astype(dtype), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                ) / jnp.sum(e, axis=-1, keepdims=True)   # [P*n, d] fp32
+                if has_lam:
+                    lam = lam_ref[0, 0, hh]
+                    vs = jnp.sum(v.astype(jnp.float32).reshape(P, n, d),
+                                 axis=1)
+                    og = ((1.0 + lam) * og.reshape(P, n, d)
+                          - (lam / n) * vs[:, None, :]).reshape(P * n, d)
+                head_outs.append(og.astype(dtype))
+            group_outs.append(jnp.concatenate(head_outs, axis=1))
+        out_all = jnp.concatenate(group_outs, axis=0)    # [M, C]
+        acc = acc + jax.lax.dot_general(
+            out_all, wp_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bp_ref[0]
+        acur_ref[...] = _win_unpack(acc, T, W, win, C).astype(dtype)
+
+    if s > 0:
+        @pl.when(i == 0)
+        def _stash_first():
+            f_ref[...] = acur_ref[...]
+
+    # ---- FFN emit: true tile j --------------------------------------
+    a_cur = acur_ref[...]
+    if s == 0:
+        # j = i - 1; rows [jT-1, jT+T] = l1 ++ a_prev ++ a_cur[0:1]
+        # (a_cur stale at i == nI: it is the bottom IMAGE halo there,
+        # zeroed below)
+        rows = jnp.concatenate(
+            [l1_ref[...], aprev_ref[...], a_cur[0:1]], axis=0)
+        j = i - 1
+    else:
+        # j = i (interior) or 0 (wrap step i == nI); true rows
+        # [jT-1, jT+T] = rolled [jT-s-1, jT+T-s] (the interior branch is
+        # computed from stale a_cur at i == nI and discarded by the where)
+        head = aprev_ref[T - s - 1:T]                # s+1 rows
+        interior = jnp.concatenate([head, a_cur[:T - s + 1]], axis=0)
+        wrap = jnp.concatenate([head, f_ref[:T - s + 1]], axis=0)
+        rows = jnp.where((i == nI), wrap, interior)  # [T+2, W, C]
+        rows = _cols_rot(rows, -s)                   # back to true cols
+        j = jnp.where(i < nI, i, 0)
+
+    xf2 = rows.astype(jnp.float32)                   # [T+2, W, C]
+    mu2 = jnp.mean(xf2, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(xf2 - mu2), axis=-1, keepdims=True)
+    xn2 = (xf2 - mu2) * jax.lax.rsqrt(var2 + eps)
+    xn2 = (xn2 * ln2s_ref[0] + ln2b_ref[0]).astype(dtype)
+
+    hdn = jax.lax.dot_general(
+        xn2.reshape((T + 2) * W, C), w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hdn = _gelu(hdn + b1_ref[...]).reshape(T + 2, W, Hd)
+
+    # zero the hidden halo rows at the image boundary (conv zero padding)
+    rws = jax.lax.broadcasted_iota(jnp.int32, (T + 2, 1, 1), 0)
+    top = jnp.logical_and(j == 0, rws == 0)
+    bot = jnp.logical_and(j == nI - 1, rws == T + 1)
+    hdn = jnp.where(jnp.logical_or(top, bot), 0.0, hdn)
+
+    zcol = jnp.zeros((T + 2, 1, Hd), jnp.float32)
+    hp = jnp.concatenate([zcol, hdn, zcol], axis=1)  # [T+2, W+2, Hd]
+    facc = jnp.zeros((T, W, Hd), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = wd_ref[dy, dx][None, None, :]
+            facc = facc + hp[dy:dy + T, dx:dx + W] * tap
+    facc = _gelu(facc + bd_ref[...])
+
+    y = jax.lax.dot_general(
+        facc.reshape(T * W, Hd).astype(dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = (y + b2_ref[...]
+         + rows[1:T + 1].astype(jnp.float32).reshape(T * W, C))
+
+    @pl.when(i >= 1)
+    def _emit():
+        out_ref[...] = y.reshape(1, T, W, C).astype(out_ref.dtype)
+
+    # cycle scratch AFTER the emit assembly consumed it
+    @pl.when(i < nI)
+    def _cycle():
+        if s == 0:
+            l1_ref[...] = aprev_ref[T - 1:T]
+        aprev_ref[...] = acur_ref[...]
+
+
+def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                    bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2,
+                    b2, win: int, shift: int, eps: float, interpret):
+    interpret = _resolve_interpret(interpret)
+    B, H, W, C = x_img.shape
+    h = wq3.shape[0]
+    n = win * win
+    Hd = w1.shape[1]
+    dt = x_img.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    T = _merged_choose_t(H, W, C, Hd, win, itemsize)
+    nI = H // T
+    nw_tile = (T // win) * (W // win)
+    s = shift
+
+    pmax = max(1, (128 * int(os.environ.get("FAIRM_ATTN_P", "2"))) // n)
+    while pmax > 1 and h * (pmax * n) ** 2 * 4 > (2 << 20):
+        pmax //= 2
+    P = max(1, min(pmax, nw_tile))
+    while nw_tile % P != 0:
+        P -= 1
+    G = nw_tile // P
+
+    d = C // h
+    wqkv = jnp.concatenate(
+        [w.transpose(1, 0, 2).reshape(C, C) for w in (wq3, wk3, wv3)],
+        axis=1).astype(dt)
+    bqkv = jnp.concatenate(
+        [b.reshape(C) for b in (bq3, bk3, bv3)]
+    ).reshape(1, 3 * C).astype(jnp.float32)
+    wp = wp3.reshape(C, C).astype(dt)
+
+    bias_p = (jnp.tile(bias.astype(jnp.float32)[None], (1, 1, P, P))
+              + jnp.asarray(_pack_bias_np(P, n))[None, None])
+    bias_spec = pl.BlockSpec((1, h, P * n, P * n),
+                             lambda b, i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    has_mask = mask is not None
+    if has_mask:
+        nW = mask.shape[0]
+        assert nW == (H // win) * (W // win)
+        m = mask.astype(jnp.float32).reshape(nI, G, P, n, n)
+        mp = jnp.zeros((nI, G, P * n, P * n), jnp.float32)
+        for p_ in range(P):
+            mp = mp.at[:, :, p_ * n:(p_ + 1) * n,
+                       p_ * n:(p_ + 1) * n].set(m[:, :, p_])
+        mask_arr = mp
+        mask_spec = pl.BlockSpec(
+            (1, G, P * n, P * n),
+            lambda b, i: (jnp.minimum(i, nI - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        mask_arr = jnp.zeros((1, 1, P * n, P * n), jnp.float32)
+        mask_spec = pl.BlockSpec((1, 1, P * n, P * n),
+                                 lambda b, i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    has_lam = lam is not None
+    if has_lam:
+        lam_arr = lam.astype(jnp.float32).reshape(B, 1, h)
+        lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        lam_arr = jnp.zeros((1, 1, h), jnp.float32)
+        lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _merged_kernel, T=T, W=W, C=C, Hd=Hd, h=h, win=win, P=P, s=s,
+        nI=nI, eps=eps, has_mask=has_mask, has_lam=has_lam, dtype=dt)
+    vspec = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    xspec_cur = pl.BlockSpec((1, T, W, C),
+                             lambda b, i: (b, jnp.minimum(i, nI - 1), 0, 0),
+                             memory_space=pltpu.VMEM)
+    xspec_next = pl.BlockSpec(
+        (1, T, W, C),
+        lambda b, i: (b, jax.lax.rem(jnp.minimum(i, nI - 1) + 1, nI), 0, 0),
+        memory_space=pltpu.VMEM)
+    if s == 0:
+        out_map = lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0)
+    else:
+        out_map = lambda b, i: (b, jnp.where(i < nI, i, 0), 0, 0)
+
+    # the cross-step scratch carry (a_prev/l1/f) requires strictly
+    # sequential grid execution
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nI + 1),
+        in_specs=[
+            xspec_cur, xspec_next,
+            vspec(1, C), vspec(1, C),                          # ln1
+            vspec(C, 3 * C), vspec(1, 3 * C),                  # qkv
+            vspec(C, C), vspec(1, C),                          # proj
+            bias_spec, mask_spec, lam_spec,
+            vspec(1, C), vspec(1, C),                          # ln2
+            vspec(C, Hd), vspec(Hd), vspec(3, 3, Hd), vspec(Hd),
+            vspec(Hd, C), vspec(C),
+        ],
+        out_specs=pl.BlockSpec((1, T, W, C), out_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dt),
+        scratch_shapes=[
+            pltpu.VMEM((T, W, C), dt),                         # a_cur
+            pltpu.VMEM((T, W, C), dt),                         # a_prev
+            pltpu.VMEM((1, W, C), dt),                         # l1
+            pltpu.VMEM((T, W, C), dt),                         # f
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(x_img, x_img, ln1s.reshape(1, C), ln1b.reshape(1, C),
+      wqkv, bqkv, wp, bp.reshape(1, C), bias_p, mask_arr, lam_arr,
+      ln2s.reshape(1, C), ln2b.reshape(1, C),
+      w1.astype(dt), b1.astype(jnp.float32), wd.astype(jnp.float32),
+      bd.astype(jnp.float32), w2.astype(dt), b2.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(22, 23, 24, 25))
+def fused_block_merged(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3,
+                       wp3, bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd,
+                       bd, w2, b2, win: int = 8, shift: int = 0,
+                       eps: float = 1e-6, interpret=None):
+    """One whole LeWin block — ``u = x + proj(win_attn(LN1(x)));
+    out = u + LeFF(LN2(u))`` — in a single pallas_call, on the TRUE-layout
+    image (the SW-MSA roll for ``shift > 0`` is absorbed into the kernel's
+    tile assembly). Numerically identical to
+    ``fused_block_ffn(roll_back(fused_block_attention(roll(x))))``.
+
+    Eval-path kernel: the VJP recomputes through the half-kernel pair's
+    composites (training routes through the pair anyway — DropPath's lerp
+    needs the halves separately, models/uformer_lewin.py)."""
+    impl = functools.partial(_merged_forward, win=win, shift=shift,
+                             eps=eps, interpret=interpret)
+    return _spmd_call(
+        impl,
+        [(x_img, 0), (ln1s, None), (ln1b, None), (wq3, None), (bq3, None),
+         (wk3, None), (bk3, None), (wv3, None), (bv3, None), (wp3, None),
+         (bp, None), (bias, None), (mask, None), (lam, 0),
+         (ln2s, None), (ln2b, None), (w1, None), (b1, None), (wd, None),
+         (bd, None), (w2, None), (b2, None)])
+
+
+def _merged_fwd(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+                bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2, win,
+                shift, eps, interpret):
+    out = fused_block_merged(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3,
+                             bv3, wp3, bp, bias, mask, lam, ln2s, ln2b,
+                             w1, b1, wd, bd, w2, b2, win, shift, eps,
+                             interpret)
+    return out, (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                 bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
+
+
+def _merged_bwd(win, shift, eps, interpret, res, g):
+    (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias, mask,
+     lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2) = res
+    itp = _resolve_interpret(interpret)
+    rk = _use_fused_bwd()
+    dmask = None if mask is None else jnp.zeros_like(mask)
+
+    def composite(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                  bp, bias, lam_, ln2s, ln2b, w1, b1, wd, bd, w2, b2):
+        img = x_img
+        if shift > 0:
+            img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+        u = _xla_block_attention(img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3,
+                                 bv3, wp3, bp, bias, mask, lam_, win, eps,
+                                 route_kernel=rk, interpret=itp)
+        if shift > 0:
+            u = jnp.roll(u, (shift, shift), axis=(1, 2))
+        return _xla_block_ffn(u, ln2s, ln2b, w1, b1, wd, bd, w2, b2, eps)
+
+    if lam is None:
+        diff = (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+                bias, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
+        _, vjp = jax.vjp(
+            lambda *a: composite(*a[:12], None, *a[12:]), *diff)
+        gr = vjp(g)
+        return gr[:12] + (dmask, None) + gr[12:]
+    diff = (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+            bias, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
+    _, vjp = jax.vjp(composite, *diff)
+    gr = vjp(g)
+    return gr[:12] + (dmask,) + gr[12:]
+
+
+fused_block_merged.defvjp(_merged_fwd, _merged_bwd)

@@ -347,6 +347,120 @@ def test_lewin_block_fused_droppath_train_matches_unfused(
 
 
 # ---------------------------------------------------------------------------
+# Merged whole-block kernel (attention + FFN in one pallas_call)
+# ---------------------------------------------------------------------------
+
+
+def _ffn_args(rng_, C, Hd):
+    mk = lambda *s: jnp.asarray(rng_.standard_normal(s).astype(np.float32))
+    return (1.0 + 0.1 * mk(C), 0.1 * mk(C), mk(C, Hd) * 0.2, mk(Hd) * 0.1,
+            mk(3, 3, Hd) * 0.2, mk(Hd) * 0.1, mk(Hd, C) * 0.2,
+            mk(C) * 0.1)
+
+
+@pytest.mark.parametrize("shift,use_lam", [(0, False), (4, False),
+                                           (4, True), (0, True)])
+def test_merged_block_matches_pair(rng, monkeypatch, shift, use_lam):
+    """fused_block_merged == fused_block_ffn(roll_back(
+    fused_block_attention(roll(x)))) — including SW-MSA shift (absorbed
+    into the kernel's tile assembly) and the all_DC lam modulation."""
+    B, H, W, C, h, win = 2, 32, 32, 16, 2, 8
+    args = _attn_args(rng, B=B, H=H, W=W, C=C, h=h, win=win)
+    x = args[0]
+    mask = (jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+            if shift else None)
+    lam = (jnp.asarray(rng.standard_normal((B, h)).astype(np.float32))
+           * 0.3 if use_lam else None)
+    ffn = _ffn_args(rng, C, 4 * C)
+
+    img = x
+    if shift:
+        img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+    y = lb.fused_block_attention(img, *args[1:], mask, lam, win, 1e-6,
+                                 True)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    want = lb.fused_block_ffn(y, *ffn, 1e-6, True)
+
+    got = lb.fused_block_merged(x, *args[1:], mask, lam, *ffn, win,
+                                shift, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_merged_block_multi_tile_pipeline(rng, monkeypatch, shift):
+    """Force nI > 1 row tiles (tiny merged budget): the cross-step scratch
+    carry (a_prev / l1 / f wrap stash) must reproduce the pair exactly,
+    including the wrap-around tile emitted at the extra grid step."""
+    monkeypatch.setenv("FAIRM_MERGED_T_MB", "1")
+    B, H, W, C, h, win = 2, 64, 64, 16, 2, 8
+    args = _attn_args(rng, B=B, H=H, W=W, C=C, h=h, win=win)
+    x = args[0]
+    mask = (jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+            if shift else None)
+    ffn = _ffn_args(rng, C, 4 * C)
+
+    got = lb.fused_block_merged(x, *args[1:], mask, None, *ffn, win,
+                                shift, 1e-6, True)
+    assert lb._merged_choose_t(H, W, C, 4 * C, win, 4) < H  # really multi
+
+    monkeypatch.delenv("FAIRM_MERGED_T_MB")
+    img = x
+    if shift:
+        img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+    y = lb.fused_block_attention(img, *args[1:], mask, None, win, 1e-6,
+                                 True)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    want = lb.fused_block_ffn(y, *ffn, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_merged_block_grads(rng):
+    """The merged kernel's VJP (recompute through the XLA composites)
+    matches grads of the pair composite chain."""
+    B, H, W, C, h, win, shift = 1, 16, 16, 8, 1, 8, 4
+    args = _attn_args(rng, B=B, H=H, W=W, C=C, h=h, win=win)
+    x = args[0]
+    mask = jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+    lam = jnp.asarray(rng.standard_normal((B, h)).astype(np.float32)) * 0.3
+    ffn = _ffn_args(rng, C, 4 * C)
+
+    def loss_merged(x, wq3, w1):
+        a = (x,) + args[1:3] + (wq3,) + args[4:]
+        out = lb.fused_block_merged(*a, mask, lam, ffn[0], ffn[1], w1,
+                                    *ffn[3:], win, shift, 1e-6, True)
+        return jnp.sum(out ** 2)
+
+    def loss_pair(x, wq3, w1):
+        img = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        y = lb.fused_block_attention(img, *args[1:3], wq3, *args[4:],
+                                     mask, lam, win, 1e-6, True)
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        out = lb.fused_block_ffn(y, ffn[0], ffn[1], w1, *ffn[3:], 1e-6,
+                                 True)
+        return jnp.sum(out ** 2)
+
+    gm = jax.grad(loss_merged, argnums=(0, 1, 2))(x, args[3], ffn[2])
+    gp = jax.grad(loss_pair, argnums=(0, 1, 2))(x, args[3], ffn[2])
+    for a, b in zip(gm, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_merged_block_env_gate(monkeypatch):
+    monkeypatch.setenv("FAIRM_MERGED_BLOCK", "0")
+    assert not lb.use_merged_block()
+    monkeypatch.delenv("FAIRM_MERGED_BLOCK")
+    assert lb.use_merged_block()
+    # the deepest decoder stage's weights cannot stay resident -> pair
+    assert not lb.merged_block_fits(896, 3584, 2, 16)
+    assert lb.merged_block_fits(56, 224, 2, 128)
+
+
+# ---------------------------------------------------------------------------
 # Frequency-MSA halves
 # ---------------------------------------------------------------------------
 

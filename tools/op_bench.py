@@ -295,6 +295,81 @@ def bench_blockk():
     print(f"blockk encoder-equivalent total: {tot*1e3:7.1f} ms", flush=True)
 
 
+def bench_merged():
+    """Single-dispatch merged block kernel vs the half-kernel pair, at
+    every flagship decoder stage shape (shifted block: the merged kernel
+    also absorbs the two jnp.roll round-trips)."""
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops import (
+        windows as win_ops)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops.pallas.lewin_block import (
+        fused_block_attention, fused_block_ffn, fused_block_merged,
+        merged_block_fits)
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    B = int(os.environ.get("OPB_BATCH", "8"))
+    win, n = 8, 64
+
+    dec = [("enc0", 128, 56, 1, 2), ("enc1", 64, 112, 2, 2),
+           ("enc2", 32, 224, 4, 8), ("enc3", 16, 448, 8, 8),
+           ("conv", 8, 896, 16, 4), ("dec3", 16, 896, 16, 8),
+           ("dec2", 32, 448, 8, 8), ("dec1", 64, 224, 4, 2),
+           ("dec0", 128, 112, 2, 2)]
+    tot_p = tot_m = 0.0
+    for name, res, C, h, depth in dec:
+        d = C // h
+        Hd = 4 * C
+        if not merged_block_fits(C, Hd, 2, res, win):
+            print(f"merged {name:5s} res{res:3d} C{C:3d}: no fit -> pair",
+                  flush=True)
+            continue
+        shift = 4 if res > win else 0
+        x = (mk(B, res, res, C) * 0.3).astype(jnp.bfloat16)
+        lns, lnb = 1.0 + 0.1 * mk(C), 0.1 * mk(C)
+        wq, bq, wk, bk, wv, bv = (mk(h, C, d) * 0.1, mk(h, d) * 0.1,
+                                  mk(h, C, d) * 0.1, mk(h, d) * 0.1,
+                                  mk(h, C, d) * 0.1, mk(h, d) * 0.1)
+        wp3, bp = mk(h, d, C) * 0.1, mk(C) * 0.1
+        bias = mk(h, n, n) * 0.05
+        mask = (jnp.asarray(win_ops.shift_attn_mask(res, res, win, shift))
+                if shift else None)
+        w1, b1 = mk(C, Hd) * 0.1, mk(Hd) * 0.1
+        wd, bd = mk(3, 3, Hd) * 0.1, mk(Hd) * 0.1
+        w2, b2 = mk(Hd, C) * 0.1, mk(C) * 0.1
+
+        def pair(x, wq, bq, wk, bk, wv, bv, wp3, bp, bias, lns, lnb,
+                 w1, b1, wd, bd, w2, b2):
+            img = x
+            if shift:
+                img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+            y = fused_block_attention(img, lns, lnb, wq, bq, wk, bk, wv,
+                                      bv, wp3, bp, bias, mask, None, win)
+            if shift:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            return fused_block_ffn(y, lns, lnb, w1, b1, wd, bd, w2,
+                                   b2).astype(x.dtype)
+
+        def merged(x, wq, bq, wk, bk, wv, bv, wp3, bp, bias, lns, lnb,
+                   w1, b1, wd, bd, w2, b2):
+            return fused_block_merged(
+                x, lns, lnb, wq, bq, wk, bk, wv, bv, wp3, bp, bias, mask,
+                None, lns, lnb, w1, b1, wd, bd, w2, b2, win,
+                shift).astype(x.dtype)
+
+        args = (x, wq, bq, wk, bk, wv, bv, wp3, bp, bias, lns, lnb,
+                w1, b1, wd, bd, w2, b2)
+        tp = timer(pair, args)
+        tm = timer(merged, args)
+        tot_p += tp * depth
+        tot_m += tm * depth
+        print(f"merged {name:5s} res{res:3d} C{C:3d} h{h:2d} s{shift}: "
+              f"pair {tp*1e3:6.2f} ms  merged {tm*1e3:6.2f} ms  "
+              f"speedup {tp/tm:5.2f}x", flush=True)
+    print(f"merged decoder-equivalent (fitting stages): pair "
+          f"{tot_p*1e3:7.1f} ms  merged {tot_m*1e3:7.1f} ms  "
+          f"({tot_p/max(tot_m,1e-9):.2f}x)", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("attn", "all"):
@@ -307,3 +382,5 @@ if __name__ == "__main__":
         bench_dcn()
     if which in ("blockk",):
         bench_blockk()
+    if which in ("merged",):
+        bench_merged()
