@@ -69,6 +69,19 @@ def _resolve_interpret(interpret):
     return interpret
 
 
+def _bf16_logits() -> bool:
+    """Store the attention logits tile in bf16. NEGATIVE RESULT, default
+    OFF (v5e, r4): halving the bytes of the largest VPU surface
+    ([P*n, P*n] for the bias add/max/exp chain) measured a 26% DECODER
+    LOSS e2e (6.60 -> 4.92 MP/s at B=32) — Mosaic must round-trip the
+    fp32 matmul accumulator through an explicit cast (it rejects bf16
+    accumulators outright: 'Expected matmul acc to be 32-bit'), and the
+    extra relayout/convert passes cost more than the narrower compute
+    saves. Kept as a flag (FAIRM_BF16_LOGITS=1) for future hardware."""
+    return (os.environ.get("FAIRM_BF16_LOGITS", "0")
+            not in ("0", "false", "False"))
+
+
 def _win_pack(x, T, W, win, C):
     """[T, W, C] row-tile -> [nw*win*win, C] window-major tokens."""
     nw = W // win
@@ -88,13 +101,12 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
                  bp_ref, bias_ref, mask_ref, lam_ref, out_ref, *, T: int,
                  W: int, C: int, h: int, win: int, P: int, Q: int,
                  eps: float, has_mask: bool, has_lam: bool, ln: bool,
-                 res: bool, dtype):
+                 res: bool, dtype, ldt=jnp.float32):
     n = win * win
     nw_tile = (T // win) * (W // win)
     M = nw_tile * n
     G = nw_tile // P
     d = C // h
-    scale = d ** -0.5
 
     x = x_ref[...].reshape(Q * T, W, C)              # [Q*T, W, C]
     xf = x.astype(jnp.float32)
@@ -130,9 +142,12 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
             q = qkv[s, hh * d:(hh + 1) * d]
             k = qkv[s, C + hh * d:C + (hh + 1) * d]
             v = qkv[s, 2 * C + hh * d:2 * C + (hh + 1) * d]
+            # the q scale is folded into the qkv weights at trace time
+            # (zero kernel cost); logits may be stored in bf16 (ldt) with
+            # the softmax normalizer still accumulated in fp32
             logits = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32).astype(ldt)
             logits = logits + bias_ref[0, hh]
             if has_mask:
                 logits = logits + mask_ref[0, mg]
@@ -145,7 +160,8 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
                 e.astype(dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32
-            ) / jnp.sum(e, axis=-1, keepdims=True)   # [P*n, d] fp32
+            ) / jnp.sum(e, axis=-1, keepdims=True,
+                        dtype=jnp.float32)           # [P*n, d] fp32
             if has_lam:
                 # all_DC rank-1 modulation (models/uformer_blocks.py:293):
                 # out' = (1+lam)*out - (lam/n) * sum_m v[m]
@@ -172,6 +188,98 @@ def _pack_bias_np(P: int, n: int) -> np.ndarray:
     row_win = np.arange(P * n)[:, None] // n
     col_win = np.arange(P * n)[None, :] // n
     return np.where(row_win == col_win, 0.0, -1e9).astype(np.float32)
+
+
+def _attn_kernel_split(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                       wp_ref, bp_ref, bias_ref, mask_ref, lam_ref,
+                       out_ref, qkv_s, *, T: int, W: int, C: int, h: int,
+                       win: int, P: int, eps: float, has_mask: bool,
+                       has_lam: bool, ln: bool, res: bool, dtype,
+                       ldt=jnp.float32):
+    """q/k/v-split variant of :func:`_attn_kernel`: grid (B, nI, 3).
+    At fp32 C=896 the full [C, 3C] qkv + [C, C] proj weights are 12.8 MB
+    and cannot stay resident next to the token copies (measured over
+    scoped VMEM on v5e); here substep k brings in ONE [C, C] block (the
+    q, k or v projection) and fills its third of the qkv scratch; the
+    attention group loop runs at the last substep. Q-packing is disabled
+    (Q=1) — this path exists for the deep low-res fp32 stages only."""
+    kq = pl.program_id(2)
+    n = win * win
+    nw_tile = (T // win) * (W // win)
+    G = nw_tile // P
+    d = C // h
+
+    x = x_ref[0]                                     # [T, W, C]
+    xf = x.astype(jnp.float32)
+    if ln:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * lns_ref[0] + lnb_ref[0]
+    else:
+        xn = xf
+    xw = _win_pack(xn.astype(dtype), T, W, win, C)   # [M, C]
+
+    part = jax.lax.dot_general(
+        xw, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv_ref[0]
+    # fill this substep's third of the scratch: kq is traced, so select
+    # the store slice with @pl.when (static slices, no dynamic indexing)
+    for kk in range(3):
+        @pl.when(kq == kk)
+        def _store(kk=kk):
+            qkv_s[:, kk * C:(kk + 1) * C] = part.astype(dtype)
+
+    @pl.when(kq == 2)
+    def _attend():
+        if res:
+            acc = _win_pack(xf, T, W, win, C)        # residual, fp32
+        else:
+            acc = jnp.zeros((nw_tile * n, C), jnp.float32)
+        qkv = qkv_s[...]
+        group_outs = []
+        for g in range(G):
+            sl = slice(g * P * n, (g + 1) * P * n)
+            head_outs = []
+            for hh in range(h):
+                q = qkv[sl, hh * d:(hh + 1) * d]
+                k = qkv[sl, C + hh * d:C + (hh + 1) * d]
+                v = qkv[sl, 2 * C + hh * d:2 * C + (hh + 1) * d]
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(ldt)
+                logits = logits + bias_ref[0, hh]
+                if has_mask:
+                    logits = logits + mask_ref[0, g]
+                logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+                e = jnp.exp(logits)
+                og = jax.lax.dot_general(
+                    e.astype(dtype), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                ) / jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+                if has_lam:
+                    lam = lam_ref[0, 0, hh]
+                    vs = jnp.sum(v.astype(jnp.float32).reshape(P, n, d),
+                                 axis=1)
+                    og = ((1.0 + lam) * og.reshape(P, n, d)
+                          - (lam / n) * vs[:, None, :]).reshape(P * n, d)
+                head_outs.append(og.astype(dtype))
+            group_outs.append(jnp.concatenate(head_outs, axis=1))
+        out_all = jnp.concatenate(group_outs, axis=0)
+        acc = acc + jax.lax.dot_general(
+            out_all, wp_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bp_ref[0]
+        out_ref[...] = (_win_unpack(acc, T, W, win, C)
+                        .reshape(1, T, W, C).astype(out_ref.dtype))
+
+
+def _attn_weights_fit(C: int, itemsize: int) -> bool:
+    """Whether the full [C, 3C] qkv + [C, C] proj mats can stay resident
+    in the unsplit attention kernel (fp32 C=896: 12.8 MB, measured over
+    scoped VMEM next to the token copies on v5e)."""
+    return 4 * C * C * itemsize <= (8 << 20)
 
 
 _REMAT_DEPTH = 0
@@ -211,16 +319,20 @@ def _tile_budget(default_mb: int, env_key: str, itemsize: int) -> int:
 
 
 def block_kernels_fit(C: int, Hd: int, itemsize: int) -> bool:
-    """Whether the fused block kernels' T-independent VMEM residents —
-    the full-width weight mats they hold on-stack — leave room under the
-    16 MB scoped-VMEM limit. At the deepest decoder stage (C=896,
-    Hd=3584) the fp32 FFN weights alone are 24.6 MB (measured 8.5 MB
-    over on v5e) and the fp32 qkv+proj mats are 12.8 MB, so fp32 falls
-    back to the unfused path there (which uses the per-head
-    window-attention kernel); the bf16 flagship configuration (FFN
-    weights 12.85 MB, benched) stays fused at every stage."""
-    attn_w = 4 * C * C * itemsize            # [C, 3C] qkv + [C, C] proj
-    ffn_w = 2 * C * Hd * itemsize + 9 * Hd * 4
+    """Whether the fused block kernels can take this stage. Since r4 the
+    answer is yes at every flagship stage in BOTH dtypes: where the
+    full-width weight mats outgrow scoped VMEM (fp32 at C=896: 24.6 MB
+    of FFN weights, 12.8 MB of qkv+proj — measured over the limit on
+    v5e, VALIDATION.md r3) the dispatchers switch to split kernels —
+    :func:`_ffn_kernel_split` (Hd column blocks, exact) and
+    :func:`_attn_kernel_split` (one q/k/v projection block per substep
+    with a qkv scratch). The gate survives as a guard for dims where
+    even a single split block cannot fit."""
+    attn_w = 4 * C * C * itemsize
+    if not _attn_weights_fit(C, itemsize):
+        attn_w = C * C * itemsize + C * C * itemsize  # 1 block + proj
+    kb = _ffn_choose_kb(C, Hd, itemsize)
+    ffn_w = 2 * C * (Hd // kb) * itemsize + 9 * (Hd // kb) * 4
     return attn_w <= (12 << 20) and ffn_w <= (13 << 20)
 
 
@@ -287,21 +399,25 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
     has_lam = lam is not None
 
     # weights in the compute dtype; full-width [C, 3C] / [C, C] mats (see
-    # below) — shared by both kernel layouts
+    # below) — shared by both kernel layouts. The attention scale d^-0.5
+    # is folded into the q weights/bias here: exact same logits, no
+    # per-logit VPU multiply in the kernel.
     dt = x_img.dtype
     d = C // h
+    scale = d ** -0.5
+    ldt = dt if (dt == jnp.bfloat16 and _bf16_logits()) else jnp.float32
     wqkv_full = jnp.concatenate(
-        [w.transpose(1, 0, 2).reshape(C, C) for w in (wq3, wk3, wv3)],
-        axis=1).astype(dt)                               # [C, 3C]
+        [w.transpose(1, 0, 2).reshape(C, C) for w in
+         (wq3 * scale, wk3, wv3)], axis=1).astype(dt)    # [C, 3C]
     bqkv_full = jnp.concatenate(
-        [b.reshape(C) for b in (bq3, bk3, bv3)]).reshape(1, 3 * C)
+        [b.reshape(C) for b in (bq3 * scale, bk3, bv3)]).reshape(1, 3 * C)
     wp_full = wp3.reshape(C, C).astype(dt)
 
     # bias: [(NB,) h, n, n] -> packed [NB, h, P*n, P*n]
-    # (diag blocks + -1e9 cross-window)
+    # (diag blocks + -1e9 cross-window), stored in the logits dtype
     bias_nb = bias if bias_groups > 1 else bias[None]
     bias_p = (jnp.tile(bias_nb.astype(jnp.float32), (1, 1, P, P))
-              + jnp.asarray(_pack_bias_np(P, n))[None, None])
+              + jnp.asarray(_pack_bias_np(P, n))[None, None]).astype(ldt)
     if bias_groups > 1:
         imgs_per_band = B // bias_groups
         bias_spec = pl.BlockSpec(
@@ -324,12 +440,12 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
         for p_ in range(P):
             mp = mp.at[:, :, p_ * n:(p_ + 1) * n,
                        p_ * n:(p_ + 1) * n].set(m[:, :, p_])
-        mask_arr = mp
+        mask_arr = mp.astype(ldt)
         mask_spec = pl.BlockSpec((1, G, P * n, P * n),
                                  lambda b, i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        mask_arr = jnp.zeros((1, 1, P * n, P * n), jnp.float32)
+        mask_arr = jnp.zeros((1, 1, P * n, P * n), ldt)
         mask_spec = pl.BlockSpec((1, 1, P * n, P * n),
                                  lambda b, i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -348,10 +464,64 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                                 memory_space=pltpu.VMEM)
 
     wqkv, bqkv, wp = wqkv_full, bqkv_full, wp_full
+
+    if not _attn_weights_fit(C, jnp.dtype(dt).itemsize) and bias_groups == 1:
+        # q/k/v-split path (fp32 at the deepest decoder stage): one [C, C]
+        # projection block resident per substep, qkv built in scratch
+        M = nw_tile * n
+        kernel = functools.partial(
+            _attn_kernel_split, T=T, W=W, C=C, h=h, win=win, P=P,
+            eps=eps, has_mask=has_mask, has_lam=has_lam, ln=ln, res=res,
+            dtype=dt, ldt=ldt)
+        vs3 = lambda *shape: pl.BlockSpec(
+            shape, lambda b, i, k: (0,) * len(shape),
+            memory_space=pltpu.VMEM)
+        if has_mask:
+            mspec3 = pl.BlockSpec((1, G, P * n, P * n),
+                                  lambda b, i, k: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            mspec3 = pl.BlockSpec((1, 1, P * n, P * n),
+                                  lambda b, i, k: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        lspec3 = pl.BlockSpec(
+            (1, 1, h),
+            (lambda b, i, k: (b, 0, 0)) if has_lam
+            else (lambda b, i, k: (0, 0, 0)),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nI, 3),
+            in_specs=[
+                pl.BlockSpec((1, T, W, C), lambda b, i, k: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vs3(1, C), vs3(1, C),
+                pl.BlockSpec((C, C), lambda b, i, k: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda b, i, k: (0, k),
+                             memory_space=pltpu.VMEM),
+                vs3(C, C), vs3(1, C),
+                pl.BlockSpec((1, h, P * n, P * n),
+                             lambda b, i, k: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                mspec3, lspec3,
+            ],
+            out_specs=pl.BlockSpec((1, T, W, C),
+                                   lambda b, i, k: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, C), dt),
+            scratch_shapes=[pltpu.VMEM((M, 3 * C), dt)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * 3),
+            interpret=interpret,
+        )(x_img, lns.reshape(1, C), lnb.reshape(1, C),
+          wqkv, bqkv.astype(jnp.float32), wp, bp.reshape(1, C),
+          bias_p, mask_arr, lam_arr)
+
     kernel = functools.partial(
         _attn_kernel, T=T, W=W, C=C, h=h, win=win, P=P, Q=Q, eps=eps,
         has_mask=has_mask, has_lam=has_lam, ln=ln, res=res,
-        dtype=x_img.dtype)
+        dtype=x_img.dtype, ldt=ldt)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -609,6 +779,81 @@ def _ffn_choose_t(H: int, W: int, Hd: int, itemsize: int = 2) -> int:
     return t
 
 
+def _ffn_choose_kb(C: int, Hd: int, itemsize: int) -> int:
+    """Hidden-dim split factor: smallest KB dividing Hd into 128-multiple
+    blocks whose w1/w2 column/row blocks fit ~10 MB of resident VMEM.
+    KB=1 (no split) everywhere the full weights fit — the benched bf16
+    configuration is unchanged (12.85 MB at C=896 fits, measured);
+    fp32 at C=896 (24.6 MB of weights, measured 8.5 MB over scoped VMEM
+    on v5e) gets KB=4. The budget scales inversely with itemsize because
+    the fp32 token copies the weights share VMEM with double too."""
+    budget = (13 << 20) * 2 // itemsize
+    kb = 1
+    while (2 * C * (Hd // kb) * itemsize + 9 * (Hd // kb) * 4 > budget
+           and kb < Hd and Hd % (kb * 2) == 0
+           and (Hd // (kb * 2)) % 128 == 0):
+        kb *= 2
+    return kb
+
+
+def _ffn_kernel_split(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref,
+                      w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
+                      out_ref, xn_s, acc_s, *, T: int, W: int, C: int,
+                      HdB: int, KB: int, eps: float, dtype):
+    """Hd-split variant of :func:`_ffn_kernel`: grid (B, nI, KB). The
+    hidden dim is exactly separable — each Hd block flows independently
+    through linear1 -> gelu -> depthwise conv -> gelu -> its w2 row block,
+    and the outputs SUM: y = sum_k gelu(dwconv(gelu(xn @ w1[:, k]))) @
+    w2[k]. LN(x) is computed once into scratch at k=0; the fp32 partial
+    sum accumulates in scratch and is written (+ bias + residual) at the
+    last k."""
+    i = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _ln():
+        x = jnp.concatenate(
+            [prev_ref[0, T - 1:T], cur_ref[0], next_ref[0, 0:1]], axis=0)
+        xf = x.astype(jnp.float32)                   # [T+2, W, C]
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn_s[...] = (xn * lns_ref[0] + lnb_ref[0]).astype(dtype)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    hdn = jax.lax.dot_general(
+        xn_s[...].reshape((T + 2) * W, C), w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hdn = _gelu(hdn + b1_ref[...]).reshape(T + 2, W, HdB)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T + 2, 1, 1), 0)
+    top = jnp.logical_and(i == 0, rows == 0)
+    bot = jnp.logical_and(i == pl.num_programs(1) - 1, rows == T + 1)
+    hdn = jnp.where(jnp.logical_or(top, bot), 0.0, hdn)
+
+    zcol = jnp.zeros((T + 2, 1, HdB), jnp.float32)
+    hp = jnp.concatenate([zcol, hdn, zcol], axis=1)  # [T+2, W+2, HdB]
+    acc = jnp.zeros((T, W, HdB), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = wd_ref[dy, dx][None, None, :]
+            acc = acc + hp[dy:dy + T, dx:dx + W] * tap
+    acc = _gelu(acc + bd_ref[...])
+
+    y = jax.lax.dot_general(
+        acc.reshape(T * W, HdB).astype(dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_s[...] = acc_s[...] + y
+
+    @pl.when(k == KB - 1)
+    def _emit():
+        out = (acc_s[...] + b2_ref[...]
+               + cur_ref[0].astype(jnp.float32).reshape(T * W, C))
+        out_ref[...] = out.reshape(1, T, W, C).astype(out_ref.dtype)
+
+
 def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
                  interpret):
     interpret = _resolve_interpret(interpret)
@@ -621,6 +866,54 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
     w2 = w2.astype(dtype)
     b1, bd, b2 = (t.astype(jnp.float32) for t in (b1, bd, b2))
     wd = wd.astype(jnp.float32)
+
+    itemsize = jnp.dtype(dtype).itemsize
+    KB = _ffn_choose_kb(C, Hd, itemsize)
+    if KB > 1:
+        # Hd-split path: fp32 at the deepest stage (the full fp32 weights
+        # measured 8.5 MB over scoped VMEM on v5e, VALIDATION.md r3)
+        HdB = Hd // KB
+        kernel = functools.partial(_ffn_kernel_split, T=T, W=W, C=C,
+                                   HdB=HdB, KB=KB, eps=eps, dtype=dtype)
+        vspec3 = lambda *shape: pl.BlockSpec(
+            shape, lambda b, i, k: (0,) * len(shape),
+            memory_space=pltpu.VMEM)
+        xspec3 = lambda imap: pl.BlockSpec((1, T, W, C), imap,
+                                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nI, KB),
+            in_specs=[
+                xspec3(lambda b, i, k: (b, jnp.maximum(i - 1, 0), 0, 0)),
+                xspec3(lambda b, i, k: (b, i, 0, 0)),
+                xspec3(lambda b, i, k: (b, jnp.minimum(i + 1, nI - 1),
+                                        0, 0)),
+                vspec3(1, C), vspec3(1, C),
+                pl.BlockSpec((C, HdB), lambda b, i, k: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HdB,), lambda b, i, k: (k,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 3, HdB), lambda b, i, k: (0, 0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HdB,), lambda b, i, k: (k,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HdB, C), lambda b, i, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                vspec3(C),
+            ],
+            out_specs=pl.BlockSpec((1, T, W, C),
+                                   lambda b, i, k: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, C), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((T + 2, W, C), dtype),      # xn (post-LN)
+                pltpu.VMEM((T * W, C), jnp.float32),   # fp32 partial sum
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * 3),
+            interpret=interpret,
+        )(x_img, x_img, x_img, lns.reshape(1, C), lnb.reshape(1, C),
+          w1, b1, wd, bd, w2, b2)
 
     kernel = functools.partial(_ffn_kernel, T=T, W=W, C=C, Hd=Hd, eps=eps,
                                dtype=dtype)
@@ -865,12 +1158,11 @@ fused_freq_intra.defvjp(_freq_intra_fwd, _freq_intra_bwd)
 def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
                        bp_ref, bias_ref, mask_ref, out_ref, *, L: int,
                        T: int, W: int, C: int, h: int, win: int,
-                       has_mask: bool, dtype):
+                       has_mask: bool, dtype, ldt=jnp.float32):
     n = win * win
     nw = (T // win) * (W // win)
     Ln = L * n
     d = C // h
-    scale = d ** -0.5
 
     y = y_ref[:, 0]                                  # [L, T, W, C]
     # window-grouped tokens: [nw, L, n, C] -> [nw*L*n, C]
@@ -894,9 +1186,10 @@ def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
             q = qkv[s, hh * d:(hh + 1) * d]
             k = qkv[s, C + hh * d:C + (hh + 1) * d]
             v = qkv[s, 2 * C + hh * d:2 * C + (hh + 1) * d]
+            # q scale folded into the qkv weights; logits stored in ldt
             logits = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32).astype(ldt)
             logits = logits + bias_ref[hh]
             if has_mask:
                 logits = logits + mtile
@@ -908,7 +1201,8 @@ def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
                 e.astype(dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-                / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype))
+                / jnp.sum(e, axis=-1, keepdims=True,
+                          dtype=jnp.float32)).astype(dtype))
         win_outs.append(jnp.concatenate(head_outs, axis=1))  # [Ln, C]
     out_all = jnp.concatenate(win_outs, axis=0)      # [nw*Ln, C]
     acc = jax.lax.dot_general(
@@ -950,27 +1244,29 @@ def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
 
     y5 = y_img.reshape(L, B, H, W, C)
     r5 = res_img.reshape(L, B, H, W, C)
+    dt = y_img.dtype
+    ldt = dt if (dt == jnp.bfloat16 and _bf16_logits()) else jnp.float32
     has_mask = mask is not None
     if has_mask:
-        m = mask.astype(jnp.float32).reshape(nI, nw, n, n)
+        m = mask.astype(ldt).reshape(nI, nw, n, n)
         mask_spec = pl.BlockSpec((1, nw, n, n), lambda b, i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        m = jnp.zeros((1, 1, n, n), jnp.float32)
+        m = jnp.zeros((1, 1, n, n), ldt)
         mask_spec = pl.BlockSpec((1, 1, n, n), lambda b, i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
-    dt = y_img.dtype
+    scale = d ** -0.5
     wqkv = jnp.concatenate(
-        [w.transpose(1, 0, 2).reshape(C, C) for w in (wq3, wk3, wv3)],
-        axis=1).astype(dt)                               # [C, 3C]
+        [w.transpose(1, 0, 2).reshape(C, C) for w in
+         (wq3 * scale, wk3, wv3)], axis=1).astype(dt)    # [C, 3C]
     bqkv = jnp.concatenate(
-        [b.reshape(C) for b in (bq3, bk3, bv3)]
+        [b.reshape(C) for b in (bq3 * scale, bk3, bv3)]
     ).reshape(1, 3 * C).astype(jnp.float32)
     wp = wp3.reshape(C, C).astype(dt)
     kernel = functools.partial(
         _freq_inter_kernel, L=L, T=T, W=W, C=C, h=h, win=win,
-        has_mask=has_mask, dtype=y_img.dtype)
+        has_mask=has_mask, dtype=y_img.dtype, ldt=ldt)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((L, 1, T, W, C), lambda b, i: (0, b, i, 0, 0),
@@ -991,7 +1287,7 @@ def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
         out_shape=jax.ShapeDtypeStruct((L, B, H, W, C), y_img.dtype),
         interpret=interpret,
     )(y5, r5, wqkv, bqkv, wp, bp.reshape(1, C),
-      biasB.astype(jnp.float32), m)
+      biasB.astype(ldt), m)
     return out.reshape(LB, H, W, C)
 
 
@@ -1203,13 +1499,12 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                    b2_ref, out_ref, acur_ref, aprev_ref, l1_ref, f_ref, *,
                    T: int, W: int, C: int, Hd: int, h: int, win: int,
                    P: int, s: int, nI: int, eps: float, has_mask: bool,
-                   has_lam: bool, dtype):
+                   has_lam: bool, dtype, ldt=jnp.float32):
     i = pl.program_id(1)
     n = win * win
     nw_tile = (T // win) * (W // win)
     G = nw_tile // P
     d = C // h
-    scale = d ** -0.5
 
     # ---- attention half: rolled tile i, SKIPPED at the extra grid step
     # i == nI (the stale acur_ref content is never consumed where it
@@ -1243,9 +1538,10 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                 q = qkv[sl, hh * d:(hh + 1) * d]
                 k = qkv[sl, C + hh * d:C + (hh + 1) * d]
                 v = qkv[sl, 2 * C + hh * d:2 * C + (hh + 1) * d]
+                # q scale folded into the qkv weights; ldt logits storage
                 logits = jax.lax.dot_general(
                     q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32).astype(ldt)
                 logits = logits + bias_ref[0, hh]
                 if has_mask:
                     logits = logits + mask_ref[0, g]
@@ -1255,7 +1551,8 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                     e.astype(dtype), v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32
-                ) / jnp.sum(e, axis=-1, keepdims=True)   # [P*n, d] fp32
+                ) / jnp.sum(e, axis=-1, keepdims=True,
+                            dtype=jnp.float32)           # [P*n, d] fp32
                 if has_lam:
                     lam = lam_ref[0, 0, hh]
                     vs = jnp.sum(v.astype(jnp.float32).reshape(P, n, d),
@@ -1366,16 +1663,18 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
     G = nw_tile // P
 
     d = C // h
+    scale = d ** -0.5
+    ldt = dt if (dt == jnp.bfloat16 and _bf16_logits()) else jnp.float32
     wqkv = jnp.concatenate(
-        [w.transpose(1, 0, 2).reshape(C, C) for w in (wq3, wk3, wv3)],
-        axis=1).astype(dt)
+        [w.transpose(1, 0, 2).reshape(C, C) for w in
+         (wq3 * scale, wk3, wv3)], axis=1).astype(dt)
     bqkv = jnp.concatenate(
-        [b.reshape(C) for b in (bq3, bk3, bv3)]
+        [b.reshape(C) for b in (bq3 * scale, bk3, bv3)]
     ).reshape(1, 3 * C).astype(jnp.float32)
     wp = wp3.reshape(C, C).astype(dt)
 
     bias_p = (jnp.tile(bias.astype(jnp.float32)[None], (1, 1, P, P))
-              + jnp.asarray(_pack_bias_np(P, n))[None, None])
+              + jnp.asarray(_pack_bias_np(P, n))[None, None]).astype(ldt)
     bias_spec = pl.BlockSpec((1, h, P * n, P * n),
                              lambda b, i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1389,13 +1688,13 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
         for p_ in range(P):
             mp = mp.at[:, :, p_ * n:(p_ + 1) * n,
                        p_ * n:(p_ + 1) * n].set(m[:, :, p_])
-        mask_arr = mp
+        mask_arr = mp.astype(ldt)
         mask_spec = pl.BlockSpec(
             (1, G, P * n, P * n),
             lambda b, i: (jnp.minimum(i, nI - 1), 0, 0, 0),
             memory_space=pltpu.VMEM)
     else:
-        mask_arr = jnp.zeros((1, 1, P * n, P * n), jnp.float32)
+        mask_arr = jnp.zeros((1, 1, P * n, P * n), ldt)
         mask_spec = pl.BlockSpec((1, 1, P * n, P * n),
                                  lambda b, i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -1412,7 +1711,8 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
 
     kernel = functools.partial(
         _merged_kernel, T=T, W=W, C=C, Hd=Hd, h=h, win=win, P=P, s=s,
-        nI=nI, eps=eps, has_mask=has_mask, has_lam=has_lam, dtype=dt)
+        nI=nI, eps=eps, has_mask=has_mask, has_lam=has_lam, dtype=dt,
+        ldt=ldt)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     xspec_cur = pl.BlockSpec((1, T, W, C),

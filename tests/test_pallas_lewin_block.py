@@ -125,15 +125,59 @@ def test_tile_budget_dtype_and_remat_scaling(monkeypatch):
 
 
 def test_block_kernels_fit_deep_stage_fp32():
-    """Stage-level fit predicate, pinned at the on-chip-measured points:
-    the deepest decoder stage (C=896, Hd=3584) holds 24.6 MB of fp32 FFN
-    weights (8.5 MB over scoped VMEM on v5e) and 12.8 MB of fp32
-    qkv+proj — fp32 must fall back there; bf16 (12.85 MB FFN weights,
-    the benched flagship) and the shallow fp32 stages stay fused."""
-    assert not lb.block_kernels_fit(896, 3584, 4)   # fp32 deep: measured OOM
+    """Stage-level fit predicate. Since the r4 split kernels, fp32 at the
+    deepest stage (C=896, Hd=3584 — 24.6 MB of full fp32 FFN weights,
+    measured 8.5 MB over scoped VMEM on v5e) stays FUSED: the dispatch
+    switches to the Hd-split FFN kernel and the q/k/v-split attention
+    kernel there. The split choosers must fire exactly where needed."""
+    assert lb.block_kernels_fit(896, 3584, 4)       # fp32 deep: via splits
     assert lb.block_kernels_fit(896, 3584, 2)       # bf16 deep: benched
     assert lb.block_kernels_fit(28, 112, 4)         # fp32 res-128 stage
     assert lb.block_kernels_fit(448, 1792, 4)       # fp32 mid stage
+    # split choosers: only the fp32 deep stage splits
+    assert lb._ffn_choose_kb(896, 3584, 4) == 4
+    assert lb._ffn_choose_kb(896, 3584, 2) == 1     # benched bf16 unsplit
+    assert lb._ffn_choose_kb(448, 1792, 4) == 1
+    assert not lb._attn_weights_fit(896, 4)
+    assert lb._attn_weights_fit(896, 2)
+    assert lb._attn_weights_fit(448, 4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ffn_split_matches_unsplit(rng, monkeypatch, dtype):
+    """The Hd-split FFN kernel (grid (B, nI, KB), fp32 partial-sum
+    scratch) must reproduce the unsplit kernel: the hidden dim is exactly
+    separable through linear1/gelu/dwconv/gelu/linear2."""
+    B, H, W, C, Hd = 2, 32, 16, 8, 512
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    x = (mk(B, H, W, C) * 0.5).astype(dtype)
+    args = (1.0 + 0.1 * mk(C), 0.1 * mk(C), mk(C, Hd) * 0.2,
+            mk(Hd) * 0.1, mk(3, 3, Hd) * 0.2, mk(Hd) * 0.1,
+            mk(Hd, C) * 0.2, mk(C) * 0.1)
+    want = lb.fused_block_ffn(x, *args, 1e-6, True)
+
+    def tiny_kb(C_, Hd_, itemsize):
+        return 4
+    monkeypatch.setattr(lb, "_ffn_choose_kb", tiny_kb)
+    got = lb.fused_block_ffn(x, *args, 1e-6, True)
+    tol = 2e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_attn_split_matches_unsplit(rng, monkeypatch):
+    """The q/k/v-split attention kernel must reproduce the unsplit one
+    (incl. shift mask + all_DC lam)."""
+    B, H, W, C, h = 2, 32, 32, 16, 2
+    args = _attn_args(rng, B=B, H=H, W=W, C=C, h=h)
+    mask = jnp.asarray(win_ops.shift_attn_mask(H, W, 8, 4))
+    lam = jnp.asarray(rng.standard_normal((B, h)).astype(np.float32)) * 0.3
+    want = lb.fused_block_attention(*args, mask, lam, 8, 1e-6, True)
+    monkeypatch.setattr(lb, "_attn_weights_fit", lambda C_, it: False)
+    got = lb.fused_block_attention(*args, mask, lam, 8, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_attention_half_grads(rng):
@@ -351,7 +395,7 @@ def test_lewin_block_fused_droppath_train_matches_unfused(
 # ---------------------------------------------------------------------------
 
 
-def _ffn_args(rng_, C, Hd):
+def _merged_ffn_args(rng_, C, Hd):
     mk = lambda *s: jnp.asarray(rng_.standard_normal(s).astype(np.float32))
     return (1.0 + 0.1 * mk(C), 0.1 * mk(C), mk(C, Hd) * 0.2, mk(Hd) * 0.1,
             mk(3, 3, Hd) * 0.2, mk(Hd) * 0.1, mk(Hd, C) * 0.2,
@@ -371,7 +415,7 @@ def test_merged_block_matches_pair(rng, monkeypatch, shift, use_lam):
             if shift else None)
     lam = (jnp.asarray(rng.standard_normal((B, h)).astype(np.float32))
            * 0.3 if use_lam else None)
-    ffn = _ffn_args(rng, C, 4 * C)
+    ffn = _merged_ffn_args(rng, C, 4 * C)
 
     img = x
     if shift:
@@ -399,7 +443,7 @@ def test_merged_block_multi_tile_pipeline(rng, monkeypatch, shift):
     x = args[0]
     mask = (jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
             if shift else None)
-    ffn = _ffn_args(rng, C, 4 * C)
+    ffn = _merged_ffn_args(rng, C, 4 * C)
 
     got = lb.fused_block_merged(x, *args[1:], mask, None, *ffn, win,
                                 shift, 1e-6, True)
@@ -426,7 +470,7 @@ def test_merged_block_grads(rng):
     x = args[0]
     mask = jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
     lam = jnp.asarray(rng.standard_normal((B, h)).astype(np.float32)) * 0.3
-    ffn = _ffn_args(rng, C, 4 * C)
+    ffn = _merged_ffn_args(rng, C, 4 * C)
 
     def loss_merged(x, wq3, w1):
         a = (x,) + args[1:3] + (wq3,) + args[4:]
