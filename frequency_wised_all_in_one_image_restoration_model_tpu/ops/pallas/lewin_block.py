@@ -69,6 +69,25 @@ def _resolve_interpret(interpret):
     return interpret
 
 
+def _softmax_shift(logits):
+    """Stabilize softmax before exp. Default (r4): a STATIC shift
+    exp(l - 16) — mathematically identical to max-subtraction after the
+    normalizer divide (any constant cancels exactly), and it fuses into
+    the exp's elementwise chain instead of costing a full reduction pass
+    over the kernel's largest VPU surface ([P*n, P*n]). Measured on v5e:
+    full eval forward 131.6 -> 119.4 ms at B=32 (+10% e2e; encoder +16%
+    — its freq-MSA logit surfaces are the biggest). fp32-safe for
+    logits <= ~104 (e^88 overflows): LN'd tokens keep window logits one
+    to two orders below that; the masked positions (-1e9 pack bias,
+    -100 band mask) underflow to exactly 0 as with max-sub.
+    FAIRM_STATIC_SHIFT=off restores the per-row max subtraction;
+    =<K> overrides the shift."""
+    k = os.environ.get("FAIRM_STATIC_SHIFT", "16")
+    if k not in ("", "0", "off"):
+        return logits - float(k)
+    return logits - jnp.max(logits, axis=-1, keepdims=True)
+
+
 def _bf16_logits() -> bool:
     """Store the attention logits tile in bf16. NEGATIVE RESULT, default
     OFF (v5e, r4): halving the bytes of the largest VPU surface
@@ -151,8 +170,7 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
             logits = logits + bias_ref[0, hh]
             if has_mask:
                 logits = logits + mask_ref[0, mg]
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits)
+            e = jnp.exp(_softmax_shift(logits))
             # normalize AFTER e@v: (e@v)/Z == (e/Z)@v exactly, but the
             # divide touches [P*n, d] instead of [P*n, P*n] — the packed
             # logits area is the kernel's largest VPU surface
@@ -251,8 +269,7 @@ def _attn_kernel_split(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 logits = logits + bias_ref[0, hh]
                 if has_mask:
                     logits = logits + mask_ref[0, g]
-                logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-                e = jnp.exp(logits)
+                e = jnp.exp(_softmax_shift(logits))
                 og = jax.lax.dot_general(
                     e.astype(dtype), v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -318,22 +335,37 @@ def _tile_budget(default_mb: int, env_key: str, itemsize: int) -> int:
     return budget
 
 
+def use_split_kernels() -> bool:
+    """Opt-in gate for the split fused kernels at stages whose full-width
+    weights outgrow scoped VMEM (fp32 at C=896). NEGATIVE RESULT, default
+    OFF (v5e, r4): with the splits the fp32 flagship eval runs 2.59 MP/s
+    vs 2.69 on the unfused fallback (which still routes attention through
+    the per-head window-attention kernel) — the serial weight-block
+    substeps and their LN/x-tile revisits cost more than the fused
+    elementwise chain saves at those dims. Both split kernels are
+    on-chip-verified capabilities (FAIRM_SPLIT_KERNELS=1)."""
+    return (os.environ.get("FAIRM_SPLIT_KERNELS", "0")
+            not in ("0", "false", "False"))
+
+
 def block_kernels_fit(C: int, Hd: int, itemsize: int) -> bool:
-    """Whether the fused block kernels can take this stage. Since r4 the
-    answer is yes at every flagship stage in BOTH dtypes: where the
+    """Whether the fused block kernels take this stage. Where the
     full-width weight mats outgrow scoped VMEM (fp32 at C=896: 24.6 MB
     of FFN weights, 12.8 MB of qkv+proj — measured over the limit on
-    v5e, VALIDATION.md r3) the dispatchers switch to split kernels —
-    :func:`_ffn_kernel_split` (Hd column blocks, exact) and
-    :func:`_attn_kernel_split` (one q/k/v projection block per substep
-    with a qkv scratch). The gate survives as a guard for dims where
-    even a single split block cannot fit."""
-    attn_w = 4 * C * C * itemsize
-    if not _attn_weights_fit(C, itemsize):
-        attn_w = C * C * itemsize + C * C * itemsize  # 1 block + proj
+    v5e, VALIDATION.md r3) the dispatchers CAN switch to split kernels
+    (:func:`_ffn_kernel_split`, :func:`_attn_kernel_split`) — but the
+    measured default is the unfused fallback, see
+    :func:`use_split_kernels`."""
+    attn_w = 4 * C * C * itemsize            # [C, 3C] qkv + [C, C] proj
+    ffn_w = 2 * C * Hd * itemsize + 9 * Hd * 4
+    if attn_w <= (12 << 20) and ffn_w <= (13 << 20):
+        return True
+    if not use_split_kernels():
+        return False
     kb = _ffn_choose_kb(C, Hd, itemsize)
-    ffn_w = 2 * C * (Hd // kb) * itemsize + 9 * (Hd // kb) * 4
-    return attn_w <= (12 << 20) and ffn_w <= (13 << 20)
+    return (2 * C * C * itemsize <= (12 << 20)
+            and 2 * C * (Hd // kb) * itemsize + 9 * (Hd // kb) * 4
+            <= (13 << 20))
 
 
 def _choose_t(H: int, W: int, win: int, C: int, itemsize: int = 2) -> int:
@@ -825,7 +857,7 @@ def _ffn_kernel_split(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref,
         xn_s[...].reshape((T + 2) * W, C), w1_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    hdn = _gelu(hdn + b1_ref[...]).reshape(T + 2, W, HdB)
+    hdn = _gelu(hdn + b1_ref[0]).reshape(T + 2, W, HdB)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (T + 2, 1, 1), 0)
     top = jnp.logical_and(i == 0, rows == 0)
@@ -839,7 +871,7 @@ def _ffn_kernel_split(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref,
         for dx in range(3):
             tap = wd_ref[dy, dx][None, None, :]
             acc = acc + hp[dy:dy + T, dx:dx + W] * tap
-    acc = _gelu(acc + bd_ref[...])
+    acc = _gelu(acc + bd_ref[0][None])
 
     y = jax.lax.dot_general(
         acc.reshape(T * W, HdB).astype(dtype), w2_ref[...],
@@ -849,7 +881,7 @@ def _ffn_kernel_split(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref,
 
     @pl.when(k == KB - 1)
     def _emit():
-        out = (acc_s[...] + b2_ref[...]
+        out = (acc_s[...] + b2_ref[0]
                + cur_ref[0].astype(jnp.float32).reshape(T * W, C))
         out_ref[...] = out.reshape(1, T, W, C).astype(out_ref.dtype)
 
@@ -891,15 +923,18 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
                 vspec3(1, C), vspec3(1, C),
                 pl.BlockSpec((C, HdB), lambda b, i, k: (0, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((HdB,), lambda b, i, k: (k,),
+                # 2-D bias blocks: 1-D operands get (1024,) tiling on
+                # TPU, which a 896-wide block cannot divide (measured
+                # Mosaic reject); (1, HdB) tiles as (8, 128)
+                pl.BlockSpec((1, HdB), lambda b, i, k: (0, k),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, 3, HdB), lambda b, i, k: (0, 0, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((HdB,), lambda b, i, k: (k,),
+                pl.BlockSpec((1, HdB), lambda b, i, k: (0, k),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((HdB, C), lambda b, i, k: (k, 0),
                              memory_space=pltpu.VMEM),
-                vspec3(C),
+                vspec3(1, C),
             ],
             out_specs=pl.BlockSpec((1, T, W, C),
                                    lambda b, i, k: (b, i, 0, 0),
@@ -913,7 +948,8 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
                 dimension_semantics=("arbitrary",) * 3),
             interpret=interpret,
         )(x_img, x_img, x_img, lns.reshape(1, C), lnb.reshape(1, C),
-          w1, b1, wd, bd, w2, b2)
+          w1, b1.reshape(1, Hd), wd, bd.reshape(1, Hd), w2,
+          b2.reshape(1, C))
 
     kernel = functools.partial(_ffn_kernel, T=T, W=W, C=C, Hd=Hd, eps=eps,
                                dtype=dtype)
@@ -1193,8 +1229,7 @@ def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
             logits = logits + bias_ref[hh]
             if has_mask:
                 logits = logits + mtile
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits)
+            e = jnp.exp(_softmax_shift(logits))
             # normalize after e@v (see _attn_kernel): divide [Ln, d], not
             # the [Ln, Ln] logits area
             head_outs.append((jax.lax.dot_general(
@@ -1232,7 +1267,10 @@ def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
     # rows per tile: the per-window (L*n)^2 logits/probs pairs dominate
     # the kernel stack; keep ~nw * 2 * (Ln)^2 * 4 under ~5 MB (scaled
     # down for fp32 operands / remat headroom like the other choosers)
-    inter_budget = _tile_budget(5, "FAIRM_INTER_T_MB",
+    # default 4 since r4: with the static softmax shift Mosaic's stack
+    # schedule keeps logits+e alive together and the budget-5 tiling
+    # landed 88 KB over scoped VMEM at the C=112/res-32 encoder stage
+    inter_budget = _tile_budget(4, "FAIRM_INTER_T_MB",
                                 jnp.dtype(y_img.dtype).itemsize)
     T = win
     while (T * 2 <= H and H % (T * 2) == 0
@@ -1545,8 +1583,7 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                 logits = logits + bias_ref[0, hh]
                 if has_mask:
                     logits = logits + mask_ref[0, g]
-                logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-                e = jnp.exp(logits)
+                e = jnp.exp(_softmax_shift(logits))
                 og = jax.lax.dot_general(
                     e.astype(dtype), v,
                     dimension_numbers=(((1,), (0,)), ((), ())),

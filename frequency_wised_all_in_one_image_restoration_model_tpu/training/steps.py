@@ -49,8 +49,17 @@ def _apply_mutable(module, params, extra, *args, rngs=None, **kwargs):
     return module.apply(variables, *args, rngs=rngs, **kwargs), extra
 
 
-def make_train_step(cfg: Config, bundle: ModelBundle, joint: bool) -> Callable:
-    """Build the (donatable) step for one phase. ``joint=False`` -> phase A."""
+def make_train_step(cfg: Config, bundle: ModelBundle, joint: bool,
+                    upto: str = "full") -> Callable:
+    """Build the (donatable) step for one phase. ``joint=False`` -> phase A.
+
+    ``upto`` truncates the step for profiling (tools/train_probe.py
+    --profile): "loss" stops after the forward (key branch + loss value,
+    no gradient), "grads" stops after the backward (no optimizer/EMA
+    state/queue update), "full" (default) is the real step. The truncated
+    variants still thread the RNG through the carried state so a chained
+    timing scan cannot hoist the loop-invariant computation."""
+    assert upto in ("loss", "grads", "full")
     tx = make_optimizer(cfg)
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
@@ -89,8 +98,20 @@ def make_train_step(cfg: Config, bundle: ModelBundle, joint: bool) -> Callable:
             new_extra = {"encoder": new_extra_enc, "decoder": new_extra_dec}
             return total, (closs, l1, new_extra)
 
+        if upto == "loss":
+            loss, (closs, l1, _) = loss_fn(state.params)
+            return (state.replace(step=state.step + 1, rng=rng),
+                    {"loss": loss, "contrast_loss": closs, "l1_loss": l1})
+
         (loss, (closs, l1, new_extra)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+
+        if upto == "grads":
+            # gnorm is the fetched scalar (train_probe sums it), so the
+            # backward cannot be dead-code-eliminated from the chain
+            return (state.replace(step=state.step + 1, rng=rng),
+                    {"loss": loss, "contrast_loss": closs, "l1_loss": l1,
+                     "gnorm": optax.global_norm(grads)})
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

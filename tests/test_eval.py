@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from frequency_wised_all_in_one_image_restoration_model_tpu import config
 from frequency_wised_all_in_one_image_restoration_model_tpu.evaluation import runner, tiling
@@ -150,6 +151,7 @@ def test_test_by_task_mesh_sharded_matches_single(tmp_path):
     assert sharded == single
 
 
+@pytest.mark.slow
 def test_cli_test_py_mesh_sharded(tmp_path):
     """`python test.py --mesh_data 8 ...` shards eval tiles over the mesh
     (VERDICT r2 #4: the spatial axis must be reachable from user surfaces)."""

@@ -61,6 +61,7 @@ def _tree_paths(tree, base=""):
     return [base]
 
 
+@pytest.mark.slow
 def test_dgrn_converter_matches_init_structure(rng):
     """Converted reference-DGRN tree is leaf-for-leaf what our DGRN inits,
     and our forward runs with the transplanted weights."""
@@ -104,6 +105,7 @@ def test_dgrn_converter_matches_init_structure(rng):
     np.testing.assert_allclose(w_s - stdv, w_t, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_import_cli_roundtrip(tmp_path, rng):
     """Reference ``net.state_dict()`` -> CLI -> Orbax epoch_N -> restore:
     query/key encoder params and the MoCo queue all transplant."""

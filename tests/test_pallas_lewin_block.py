@@ -124,16 +124,20 @@ def test_tile_budget_dtype_and_remat_scaling(monkeypatch):
         assert lb._choose_t(128, 128, 8, 28, itemsize=4) == t_bf16
 
 
-def test_block_kernels_fit_deep_stage_fp32():
-    """Stage-level fit predicate. Since the r4 split kernels, fp32 at the
-    deepest stage (C=896, Hd=3584 — 24.6 MB of full fp32 FFN weights,
-    measured 8.5 MB over scoped VMEM on v5e) stays FUSED: the dispatch
-    switches to the Hd-split FFN kernel and the q/k/v-split attention
-    kernel there. The split choosers must fire exactly where needed."""
-    assert lb.block_kernels_fit(896, 3584, 4)       # fp32 deep: via splits
+def test_block_kernels_fit_deep_stage_fp32(monkeypatch):
+    """Stage-level fit predicate. fp32 at the deepest stage (C=896,
+    Hd=3584 — 24.6 MB of full fp32 FFN weights, measured 8.5 MB over
+    scoped VMEM on v5e) takes the unfused fallback by DEFAULT (the split
+    kernels measured 2.59 vs the fallback's 2.69 MP/s e2e on v5e);
+    FAIRM_SPLIT_KERNELS=1 routes it through the on-chip-verified split
+    kernels instead. The split choosers must fire exactly where needed."""
+    monkeypatch.delenv("FAIRM_SPLIT_KERNELS", raising=False)
+    assert not lb.block_kernels_fit(896, 3584, 4)   # fp32 deep: fallback
     assert lb.block_kernels_fit(896, 3584, 2)       # bf16 deep: benched
     assert lb.block_kernels_fit(28, 112, 4)         # fp32 res-128 stage
     assert lb.block_kernels_fit(448, 1792, 4)       # fp32 mid stage
+    monkeypatch.setenv("FAIRM_SPLIT_KERNELS", "1")
+    assert lb.block_kernels_fit(896, 3584, 4)       # fp32 deep: via splits
     # split choosers: only the fp32 deep stage splits
     assert lb._ffn_choose_kb(896, 3584, 4) == 4
     assert lb._ffn_choose_kb(896, 3584, 2) == 1     # benched bf16 unsplit

@@ -52,6 +52,7 @@ def test_tensor_parallel_hooks_match_replicated():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     cfg, bundle, loader, st = tiny_setup(seed=3, batch_tile=4)  # B = 8, K = 24
     batch = mesh_lib.tile_batch(array_batch(loader.next_batch()), 4)

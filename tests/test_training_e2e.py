@@ -10,6 +10,7 @@ from frequency_wised_all_in_one_image_restoration_model_tpu import config
 from frequency_wised_all_in_one_image_restoration_model_tpu.training.loop import run_training
 
 
+@pytest.mark.slow
 def test_run_training_end_to_end(tmp_path):
     # explicit de_type (the 2tasks shorthand would override test_de_type,
     # reference option.py:66-68); one eval task for speed
@@ -51,6 +52,7 @@ def test_run_training_end_to_end(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain():
     """--remat (jax.checkpoint per LeWin block) must not change the math:
     one joint train step from identical state agrees with the plain step."""

@@ -37,6 +37,7 @@ def init_encoder(cfg, b=2):
     return enc, variables, x
 
 
+@pytest.mark.slow
 def test_encoder_contract_freq_l3():
     cfg = tiny_cfg()
     enc, variables, x = init_encoder(cfg)

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--phase", choices=["encoder", "joint", "both"],
                     default="both")
+    ap.add_argument("--profile", action="store_true",
+                    help="decompose the joint step: forward-only (loss), "
+                         "forward+backward (grads), full step — the "
+                         "differences isolate backward vs optimizer/EMA/"
+                         "queue glue (VERDICT r3 #1)")
     args = ap.parse_args()
 
     from frequency_wised_all_in_one_image_restoration_model_tpu import config
@@ -72,16 +77,26 @@ def main():
 
     n_px = B * p * p / 1e6
 
-    phases = {"encoder": (("encoder-phase", False),),
-              "joint": (("joint", True),),
-              "both": (("encoder-phase", False), ("joint", True))}
-    for name, joint in phases[args.phase]:
-        step = steps.make_train_step(cfg, bundle, joint=joint)
+    if args.profile:
+        variants = [("fwd (loss)", True, "loss"),
+                    ("fwd+bwd (grads)", True, "grads"),
+                    ("full step", True, "full")]
+    else:
+        phases = {"encoder": (("encoder-phase", False),),
+                  "joint": (("joint", True),),
+                  "both": (("encoder-phase", False), ("joint", True))}
+        variants = [(name, joint, "full")
+                    for name, joint in phases[args.phase]]
+
+    for name, joint, upto in variants:
+        step = steps.make_train_step(cfg, bundle, joint=joint, upto=upto)
 
         def chained(state, batch):
             def body(carry, _):
                 new_state, metrics = step(carry, batch)
-                return new_state, metrics["loss"]
+                # fetch gnorm when present so the backward of the
+                # truncated 'grads' variant cannot be DCE'd
+                return new_state, metrics.get("gnorm", metrics["loss"])
             final, losses_ = jax.lax.scan(body, state, None,
                                           length=args.iters)
             return jnp.sum(losses_)
