@@ -59,6 +59,14 @@ class ModelBundle:
         return self.decoder.apply(variables, x, inter, train=train, rngs=rngs)
 
 
+def _drop_path_rate() -> float:
+    """Stochastic-depth peak rate for the Uformer halves. The reference
+    hard-codes 0.1 (encoder_Uformer.py:750, decoder_Uformer.py analog);
+    FAIRM_DROP_PATH overrides for A/B probes (tools/train_probe.py)."""
+    import os
+    return float(os.environ.get("FAIRM_DROP_PATH", "0.1"))
+
+
 def build_models(cfg: Config, eval_mode: bool = False) -> ModelBundle:
     """Select encoder/decoder classes by config (reference model.py:17,31)."""
     dtype = model_dtype(cfg, eval_mode)
@@ -76,7 +84,9 @@ def build_models(cfg: Config, eval_mode: bool = False) -> ModelBundle:
         encoder = ViTEncoder(cfg=cfg, image_size=cfg.patch_size, dtype=dtype)
     elif cfg.encoder_type == "Uformer":
         from .encoder_uformer import UformerEncoder
-        encoder = UformerEncoder(cfg=cfg, img_size=cfg.patch_size, dtype=dtype)
+        encoder = UformerEncoder(cfg=cfg, img_size=cfg.patch_size,
+                                 drop_path_rate=_drop_path_rate(),
+                                 dtype=dtype)
     else:
         raise ValueError(cfg.encoder_type)
 
@@ -88,7 +98,9 @@ def build_models(cfg: Config, eval_mode: bool = False) -> ModelBundle:
                        n_blocks=cfg.dgrn_blocks, dtype=dtype)
     elif cfg.decoder_type == "Uformer":
         from .decoder_uformer import UformerDecoder
-        decoder = UformerDecoder(cfg=cfg, img_size=cfg.patch_size, dtype=dtype)
+        decoder = UformerDecoder(cfg=cfg, img_size=cfg.patch_size,
+                                 drop_path_rate=_drop_path_rate(),
+                                 dtype=dtype)
     else:
         raise ValueError(cfg.decoder_type)
 

@@ -108,21 +108,19 @@ class LeWinBlock(nn.Module):
             and (self.all_bands_num is None or self.all_bands_dc)
             and not self.is_mutable_collection("intermediates"))
 
-        # DropPath around a residual-including fused kernel output, as an
-        # exact lerp: for y = x + branch and the per-sample scale
-        # s in {0, 1/keep},  x + s*branch == (1-s)*x + s*y.  The scale is
-        # drawn through the same DropPath module names as the unfused path
-        # ("drop_path1"/"drop_path2"), so both paths consume identical rng
-        # streams and are parity-testable draw for draw.
-        def dp_lerp(name, x_img, y_img):
+        # Stochastic depth for the fused kernels: the per-image scale
+        # s in {0, 1/keep} is applied IN-KERNEL (out = x + s * branch,
+        # exactly timm's  x + drop_path(branch)) — no external fp32 lerp
+        # HBM passes, and training keeps the single-dispatch merged block.
+        # The scale is drawn through the same DropPath module names as the
+        # unfused path ("drop_path1"/"drop_path2"), so both paths consume
+        # identical rng streams and are parity-testable draw for draw.
+        def dp_scale(name):
             if deterministic or self.drop_path == 0.0:
-                return y_img
+                return None
             s = DropPath(self.drop_path, name=name)(
                 jnp.ones((b, 1, 1), jnp.float32), deterministic)
-            s = s.reshape(b, 1, 1, 1)
-            out = (x_img.astype(jnp.float32) * (1.0 - s)
-                   + y_img.astype(jnp.float32) * s)
-            return out.astype(y_img.dtype)
+            return s.reshape(b)
 
         if fused_ok:
             from ..ops.pallas.lewin_block import (fused_block_attention,
@@ -143,13 +141,14 @@ class LeWinBlock(nn.Module):
             w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
                 self.dim, hidden, name="mlp")()
 
+            dps1 = dp_scale("drop_path1")
+            dps2 = dp_scale("drop_path2")
             # single-dispatch whole-block kernel (attention + FFN in one
-            # pallas_call, roll absorbed): the eval path. DropPath's lerp
-            # needs the halves separately, so training (drop_path > 0 and
-            # stochastic) keeps the half-kernel pair.
+            # pallas_call, roll absorbed) — training included since r4:
+            # DropPath rides in-kernel as dps1/dps2, and the merged VJP
+            # chains the halves' fused backward kernels.
             merged_ok = (
                 use_merged_block()
-                and (deterministic or self.drop_path == 0.0)
                 and merged_block_fits(self.dim, hidden,
                                       jnp.dtype(self.dtype).itemsize, res,
                                       win))
@@ -158,7 +157,7 @@ class LeWinBlock(nn.Module):
                 out = fused_block_merged(
                     img0, n1s, n1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
                     bp, bias, attn_mask, lam, n2s, n2b, w1, b1, wd, bd,
-                    w2, b2, win, shift)
+                    w2, b2, win, shift, 1e-6, None, dps1, dps2)
                 return to_tokens(out), None
 
             img = img0
@@ -166,13 +165,13 @@ class LeWinBlock(nn.Module):
                 img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
             y = fused_block_attention(img, n1s, n1b, wq3, bq3, wk3, bk3,
                                       wv3, bv3, wp3, bp, bias, attn_mask,
-                                      lam, win)
+                                      lam, win, 1e-6, None, dps1)
             if shift > 0:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
-            y = dp_lerp("drop_path1", img0, y)
 
-            y2 = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
-            return to_tokens(dp_lerp("drop_path2", y, y2)), None
+            y2 = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2,
+                                 1e-6, None, dps2)
+            return to_tokens(y2), None
 
         # ---- fused frequency-MSA path (encoder flagship) ----------------
         fused_freq_ok = (
@@ -198,24 +197,29 @@ class LeWinBlock(nn.Module):
             inter_p = _FusedFreqAttnParams(self.dim, win, self.num_heads,
                                            self.L, "inter",
                                            name="attn_inter")()
+            dps1 = dp_scale("drop_path1")   # [L*B] per folded sample
+            dps2 = dp_scale("drop_path2")
             img0 = to_image(x.astype(self.dtype), res, res)
             img = img0
             if shift > 0:
                 img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
             y1 = fused_freq_intra(img, n1s, n1b, *intra_p, attn_mask,
                                   self.L, win)
+            # the whole intra+inter MSA output is the DropPath branch;
+            # its shortcut is added inside the inter kernel, so dps1
+            # applies there (in-kernel)
             y = fused_freq_inter(y1, img, *inter_p, attn_mask, self.L,
-                                 win)
+                                 win, 1e-6, None, dps1)
             if shift > 0:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
-            y = dp_lerp("drop_path1", img0, y)
 
             n2s, n2b = _LNParams(self.dim, name="norm2")()
             hidden = int(self.dim * self.mlp_ratio)
             w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
                 self.dim, hidden, name="mlp")()
-            y2 = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2)
-            return to_tokens(dp_lerp("drop_path2", y, y2)), None
+            y2 = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2,
+                                 1e-6, None, dps2)
+            return to_tokens(y2), None
 
         shortcut = x
 

@@ -117,10 +117,10 @@ def _win_unpack(y, T, W, win, C):
 
 
 def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
-                 bp_ref, bias_ref, mask_ref, lam_ref, out_ref, *, T: int,
-                 W: int, C: int, h: int, win: int, P: int, Q: int,
-                 eps: float, has_mask: bool, has_lam: bool, ln: bool,
-                 res: bool, dtype, ldt=jnp.float32):
+                 bp_ref, bias_ref, mask_ref, lam_ref, dps_ref, out_ref, *,
+                 T: int, W: int, C: int, h: int, win: int, P: int, Q: int,
+                 eps: float, has_mask: bool, has_lam: bool, has_dps: bool,
+                 ln: bool, res: bool, dtype, ldt=jnp.float32):
     n = win * win
     nw_tile = (T // win) * (W // win)
     M = nw_tile * n
@@ -193,11 +193,14 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
     out_all = jnp.concatenate(group_outs, axis=0)    # [Q*M, C]
 
     # ONE full-width output projection [Q*M, C] @ [C, C]
-    acc = acc + jax.lax.dot_general(
+    br = jax.lax.dot_general(
         out_all, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    acc = acc + bp_ref[0]
+        preferred_element_type=jnp.float32) + bp_ref[0]
+    if has_dps:
+        # in-kernel DropPath: acc(residual) + s_q * branch, s per image
+        br = (br.reshape(Q, M, C)
+              * dps_ref[...].reshape(Q, 1, 1)).reshape(Q * M, C)
+    acc = acc + br
     out_ref[...] = (_win_unpack(acc, Q * T, W, win, C)
                     .reshape(Q, T, W, C).astype(out_ref.dtype))
 
@@ -210,10 +213,10 @@ def _pack_bias_np(P: int, n: int) -> np.ndarray:
 
 def _attn_kernel_split(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                        wp_ref, bp_ref, bias_ref, mask_ref, lam_ref,
-                       out_ref, qkv_s, *, T: int, W: int, C: int, h: int,
-                       win: int, P: int, eps: float, has_mask: bool,
-                       has_lam: bool, ln: bool, res: bool, dtype,
-                       ldt=jnp.float32):
+                       dps_ref, out_ref, qkv_s, *, T: int, W: int, C: int,
+                       h: int, win: int, P: int, eps: float,
+                       has_mask: bool, has_lam: bool, has_dps: bool,
+                       ln: bool, res: bool, dtype, ldt=jnp.float32):
     """q/k/v-split variant of :func:`_attn_kernel`: grid (B, nI, 3).
     At fp32 C=896 the full [C, 3C] qkv + [C, C] proj weights are 12.8 MB
     and cannot stay resident next to the token copies (measured over
@@ -284,10 +287,13 @@ def _attn_kernel_split(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 head_outs.append(og.astype(dtype))
             group_outs.append(jnp.concatenate(head_outs, axis=1))
         out_all = jnp.concatenate(group_outs, axis=0)
-        acc = acc + jax.lax.dot_general(
+        br = jax.lax.dot_general(
             out_all, wp_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bp_ref[0]
+        if has_dps:
+            br = br * dps_ref[0, 0, 0]
+        acc = acc + br
         out_ref[...] = (_win_unpack(acc, T, W, win, C)
                         .reshape(1, T, W, C).astype(out_ref.dtype))
 
@@ -384,11 +390,14 @@ def _choose_t(H: int, W: int, win: int, C: int, itemsize: int = 2) -> int:
 def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                   bias, mask, lam, win: int, eps: float, interpret,
                   ln: bool = True, res: bool = True,
-                  bias_groups: int = 1):
+                  bias_groups: int = 1, dps=None):
     """Generalized fused attention-half forward. ``bias`` is
     ``[bias_groups, h, n, n]`` when bias_groups > 1 (per-band tables for
     the frequency intra attention; batch is band-major, band = b // (B //
-    bias_groups)) else ``[h, n, n]`` shared."""
+    bias_groups)) else ``[h, n, n]`` shared. ``dps`` is an optional
+    ``[B]`` per-image DropPath branch scale (stochastic depth applied
+    in-kernel: out = x + dps_b * branch — saves the external fp32 lerp's
+    HBM passes in training); requires ``res=True``."""
     interpret = _resolve_interpret(interpret)
     B, H, W, C = x_img.shape
     h = wq3.shape[0]
@@ -495,6 +504,17 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
         lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+    has_dps = dps is not None
+    assert not (has_dps and not res), "dps requires the residual form"
+    if has_dps:
+        dps_arr = dps.astype(jnp.float32).reshape(B, 1, 1)
+        dps_spec = pl.BlockSpec((Q, 1, 1), lambda b, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        dps_arr = jnp.ones((1, 1, 1), jnp.float32)
+        dps_spec = pl.BlockSpec((1, 1, 1), lambda b, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
     wqkv, bqkv, wp = wqkv_full, bqkv_full, wp_full
 
     if not _attn_weights_fit(C, jnp.dtype(dt).itemsize) and bias_groups == 1:
@@ -503,8 +523,8 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
         M = nw_tile * n
         kernel = functools.partial(
             _attn_kernel_split, T=T, W=W, C=C, h=h, win=win, P=P,
-            eps=eps, has_mask=has_mask, has_lam=has_lam, ln=ln, res=res,
-            dtype=dt, ldt=ldt)
+            eps=eps, has_mask=has_mask, has_lam=has_lam, has_dps=has_dps,
+            ln=ln, res=res, dtype=dt, ldt=ldt)
         vs3 = lambda *shape: pl.BlockSpec(
             shape, lambda b, i, k: (0,) * len(shape),
             memory_space=pltpu.VMEM)
@@ -519,6 +539,11 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
         lspec3 = pl.BlockSpec(
             (1, 1, h),
             (lambda b, i, k: (b, 0, 0)) if has_lam
+            else (lambda b, i, k: (0, 0, 0)),
+            memory_space=pltpu.VMEM)
+        dspec3 = pl.BlockSpec(
+            (1, 1, 1),
+            (lambda b, i, k: (b, 0, 0)) if has_dps
             else (lambda b, i, k: (0, 0, 0)),
             memory_space=pltpu.VMEM)
         return pl.pallas_call(
@@ -536,7 +561,7 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                 pl.BlockSpec((1, h, P * n, P * n),
                              lambda b, i, k: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                mspec3, lspec3,
+                mspec3, lspec3, dspec3,
             ],
             out_specs=pl.BlockSpec((1, T, W, C),
                                    lambda b, i, k: (b, i, 0, 0),
@@ -548,12 +573,12 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
             interpret=interpret,
         )(x_img, lns.reshape(1, C), lnb.reshape(1, C),
           wqkv, bqkv.astype(jnp.float32), wp, bp.reshape(1, C),
-          bias_p, mask_arr, lam_arr)
+          bias_p, mask_arr, lam_arr, dps_arr)
 
     kernel = functools.partial(
         _attn_kernel, T=T, W=W, C=C, h=h, win=win, P=P, Q=Q, eps=eps,
-        has_mask=has_mask, has_lam=has_lam, ln=ln, res=res,
-        dtype=x_img.dtype, ldt=ldt)
+        has_mask=has_mask, has_lam=has_lam, has_dps=has_dps, ln=ln,
+        res=res, dtype=x_img.dtype, ldt=ldt)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -566,7 +591,7 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
             vspec(C, 3 * C), vspec(1, 3 * C),                  # qkv
             vspec(C, C), vspec(1, C),                          # proj
             bias_spec,
-            mask_spec, lam_spec,
+            mask_spec, lam_spec, dps_spec,
         ],
         out_specs=pl.BlockSpec((Q, T, W, C), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -574,12 +599,12 @@ def _attn_forward(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
         interpret=interpret,
     )(x_img, lns.reshape(1, C), lnb.reshape(1, C),
       wqkv, bqkv.astype(jnp.float32), wp, bp.reshape(1, C),
-      bias_p, mask_arr, lam_arr)
+      bias_p, mask_arr, lam_arr, dps_arr)
 
 
 def _xla_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
                          wp3, bp, bias, mask, lam, win, eps,
-                         route_kernel=False, interpret=False):
+                         route_kernel=False, interpret=False, dps=None):
     """Unfused reference composite (backward recompute + parity tests).
     Mirrors models/uformer_blocks.py attention_core + the all_DC fast
     path + LeWinBlock's LN1/partition/residual, on a pre-rolled image.
@@ -640,13 +665,15 @@ def _xla_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
                       preferred_element_type=jnp.float32) + bp
     y = (proj.reshape(B, nwr, nwc, win, win, C)
              .transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C))
+    if dps is not None:
+        y = y * dps.astype(jnp.float32)[:, None, None, None]
     return (xf + y).astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
 def fused_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
                           wp3, bp, bias, mask, lam, win: int = 8,
-                          eps: float = 1e-6, interpret=None):
+                          eps: float = 1e-6, interpret=None, dps=None):
     """``x + proj(win_attn(LN(x)))`` fused in VMEM, on a (pre-rolled)
     image.
 
@@ -661,24 +688,28 @@ def fused_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3,
       mask: ``[nW, n, n]`` additive SW-MSA mask (window-row-major over the
         image) or None.
       lam: ``[B, h]`` all_DC per-head gain or None.
+      dps: ``[B]`` per-image DropPath branch scale (values {0, 1/keep})
+        or None — stochastic depth applied in-kernel:
+        ``out = x + dps_b * branch`` (models/uformer_lewin.py draws it
+        through the same DropPath rng stream as the unfused path).
     Returns ``[B, H, W, C]`` in x's dtype.
     """
-    impl = functools.partial(_attn_forward, win=win, eps=eps,
-                             interpret=interpret)
+    impl = lambda *a: _attn_forward(*a[:14], win, eps, interpret,
+                                    dps=a[14])
     return _spmd_call(
         impl,
         [(x_img, 0), (lns, None), (lnb, None), (wq3, None), (bq3, None),
          (wk3, None), (bk3, None), (wv3, None), (bv3, None), (wp3, None),
-         (bp, None), (bias, None), (mask, None), (lam, 0)])
+         (bp, None), (bias, None), (mask, None), (lam, 0), (dps, 0)])
 
 
 def _attn_fwd(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
-              bias, mask, lam, win, eps, interpret):
+              bias, mask, lam, win, eps, interpret, dps):
     out = fused_block_attention(x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3,
                                 bv3, wp3, bp, bias, mask, lam, win, eps,
-                                interpret)
+                                interpret, dps)
     return out, (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
-                 bias, mask, lam)
+                 bias, mask, lam, dps)
 
 
 def _cast_like(grads, primals):
@@ -701,9 +732,27 @@ def _attn_bwd_supported(x_img, mask, win: int, bias_groups: int = 1):
 
 def _attn_bwd(win, eps, interpret, res, g):
     (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias, mask,
-     lam) = res
+     lam, dps) = res
     itp = _resolve_interpret(interpret)
     dmask = None if mask is None else jnp.zeros_like(mask)
+
+    # In-kernel DropPath out = x + s_b * f(x): the existing backward of
+    # u = x + f(x) is reused unchanged by scaling the cotangent per image
+    # (s is per-image and f acts per image, so f'(x)^T (s*g) = s * f'^T g
+    # image-wise): feed it g' = s*g, then correct dx += (1 - s)*g. Branch
+    # param grads come out exact with g'. dps is an rng draw -> no grad.
+    g_eff = g
+    ddps = None if dps is None else jnp.zeros_like(dps)
+    if dps is not None:
+        sf = dps.astype(jnp.float32)[:, None, None, None]
+        g_eff = (g.astype(jnp.float32) * sf).astype(g.dtype)
+
+    def _fix_dx(dx):
+        if dps is None:
+            return dx
+        out = (dx.astype(jnp.float32)
+               + (1.0 - sf) * g.astype(jnp.float32))
+        return out.astype(dx.dtype)
 
     if _attn_bwd_supported(x_img, mask, win):
         from .lewin_block_bwd import attn_block_bwd
@@ -713,7 +762,7 @@ def _attn_bwd(win, eps, interpret, res, g):
         packed = (lambda *a: impl(*a)[:12]) if lam is None else impl
         grads = _spmd_call(
             packed,
-            [(x_img, 0), (g, 0), (lns, None), (lnb, None), (wq3, None),
+            [(x_img, 0), (g_eff, 0), (lns, None), (lnb, None), (wq3, None),
              (bq3, None), (wk3, None), (bk3, None), (wv3, None),
              (bv3, None), (wp3, None), (bp, None), (bias, None),
              (mask, None), (lam, 0 if lam is not None else None)],
@@ -723,9 +772,9 @@ def _attn_bwd(win, eps, interpret, res, g):
         grads = _cast_like(
             grads, (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
                     bp, bias) + (() if lam is None else (lam,)))
-        dx_rest = grads[:12]
+        dx_rest = (_fix_dx(grads[0]),) + grads[1:12]
         dlam = None if lam is None else grads[12]
-        return dx_rest + (dmask, dlam)
+        return dx_rest + (dmask, dlam, ddps)
 
     rk = _use_fused_bwd()
     diff = (x_img, lns, lnb, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias)
@@ -734,13 +783,14 @@ def _attn_bwd(win, eps, interpret, res, g):
             lambda *a: _xla_block_attention(*a, mask, None, win, eps,
                                             route_kernel=rk, interpret=itp),
             *diff)
-        return vjp(g) + (dmask, None)
+        grads = vjp(g_eff)
+        return (_fix_dx(grads[0]),) + grads[1:] + (dmask, None, ddps)
     _, vjp = jax.vjp(
         lambda *a: _xla_block_attention(*a[:12], mask, a[12], win, eps,
                                         route_kernel=rk, interpret=itp),
         *(diff + (lam,)))
-    grads = vjp(g)
-    return grads[:12] + (dmask, grads[12])
+    grads = vjp(g_eff)
+    return (_fix_dx(grads[0]),) + grads[1:12] + (dmask, grads[12], ddps)
 
 
 fused_block_attention.defvjp(_attn_fwd, _attn_bwd)
@@ -756,8 +806,9 @@ def _gelu(x):
 
 
 def _ffn_kernel(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref, w1_ref,
-                b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, out_ref, *,
-                T: int, W: int, C: int, Hd: int, eps: float, dtype):
+                b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, dps_ref, out_ref,
+                *, T: int, W: int, C: int, Hd: int, eps: float,
+                has_dps: bool, dtype):
     i = pl.program_id(1)
 
     x = jnp.concatenate(
@@ -794,7 +845,10 @@ def _ffn_kernel(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref, w1_ref,
         acc.reshape(T * W, Hd).astype(dtype), w2_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    y = y + b2_ref[...] + cur_ref[0].astype(jnp.float32).reshape(T * W, C)
+    y = y + b2_ref[...]
+    if has_dps:
+        y = y * dps_ref[0, 0, 0]          # in-kernel DropPath branch scale
+    y = y + cur_ref[0].astype(jnp.float32).reshape(T * W, C)
     out_ref[...] = y.reshape(1, T, W, C).astype(out_ref.dtype)
 
 
@@ -830,8 +884,9 @@ def _ffn_choose_kb(C: int, Hd: int, itemsize: int) -> int:
 
 def _ffn_kernel_split(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref,
                       w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
-                      out_ref, xn_s, acc_s, *, T: int, W: int, C: int,
-                      HdB: int, KB: int, eps: float, dtype):
+                      dps_ref, out_ref, xn_s, acc_s, *, T: int, W: int,
+                      C: int, HdB: int, KB: int, eps: float,
+                      has_dps: bool, dtype):
     """Hd-split variant of :func:`_ffn_kernel`: grid (B, nI, KB). The
     hidden dim is exactly separable — each Hd block flows independently
     through linear1 -> gelu -> depthwise conv -> gelu -> its w2 row block,
@@ -881,13 +936,15 @@ def _ffn_kernel_split(prev_ref, cur_ref, next_ref, lns_ref, lnb_ref,
 
     @pl.when(k == KB - 1)
     def _emit():
-        out = (acc_s[...] + b2_ref[0]
-               + cur_ref[0].astype(jnp.float32).reshape(T * W, C))
+        br = acc_s[...] + b2_ref[0]
+        if has_dps:
+            br = br * dps_ref[0, 0, 0]
+        out = br + cur_ref[0].astype(jnp.float32).reshape(T * W, C)
         out_ref[...] = out.reshape(1, T, W, C).astype(out_ref.dtype)
 
 
 def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
-                 interpret):
+                 interpret, dps=None):
     interpret = _resolve_interpret(interpret)
     B, H, W, C = x_img.shape
     Hd = w1.shape[1]
@@ -899,6 +956,16 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
     b1, bd, b2 = (t.astype(jnp.float32) for t in (b1, bd, b2))
     wd = wd.astype(jnp.float32)
 
+    has_dps = dps is not None
+    if has_dps:
+        dps_arr = dps.astype(jnp.float32).reshape(B, 1, 1)
+        dmap2 = lambda b, i: (b, 0, 0)
+        dmap3 = lambda b, i, k: (b, 0, 0)
+    else:
+        dps_arr = jnp.ones((1, 1, 1), jnp.float32)
+        dmap2 = lambda b, i: (0, 0, 0)
+        dmap3 = lambda b, i, k: (0, 0, 0)
+
     itemsize = jnp.dtype(dtype).itemsize
     KB = _ffn_choose_kb(C, Hd, itemsize)
     if KB > 1:
@@ -906,7 +973,8 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
         # measured 8.5 MB over scoped VMEM on v5e, VALIDATION.md r3)
         HdB = Hd // KB
         kernel = functools.partial(_ffn_kernel_split, T=T, W=W, C=C,
-                                   HdB=HdB, KB=KB, eps=eps, dtype=dtype)
+                                   HdB=HdB, KB=KB, eps=eps,
+                                   has_dps=has_dps, dtype=dtype)
         vspec3 = lambda *shape: pl.BlockSpec(
             shape, lambda b, i, k: (0,) * len(shape),
             memory_space=pltpu.VMEM)
@@ -935,6 +1003,7 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
                 pl.BlockSpec((HdB, C), lambda b, i, k: (k, 0),
                              memory_space=pltpu.VMEM),
                 vspec3(1, C),
+                pl.BlockSpec((1, 1, 1), dmap3, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, T, W, C),
                                    lambda b, i, k: (b, i, 0, 0),
@@ -949,10 +1018,10 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
             interpret=interpret,
         )(x_img, x_img, x_img, lns.reshape(1, C), lnb.reshape(1, C),
           w1, b1.reshape(1, Hd), wd, bd.reshape(1, Hd), w2,
-          b2.reshape(1, C))
+          b2.reshape(1, C), dps_arr)
 
     kernel = functools.partial(_ffn_kernel, T=T, W=W, C=C, Hd=Hd, eps=eps,
-                               dtype=dtype)
+                               has_dps=has_dps, dtype=dtype)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     xspec = lambda imap: pl.BlockSpec((1, T, W, C), imap,
@@ -967,16 +1036,18 @@ def _ffn_forward(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps: float,
             vspec(1, C), vspec(1, C),
             vspec(C, Hd), vspec(Hd), vspec(3, 3, Hd), vspec(Hd),
             vspec(Hd, C), vspec(C),
+            pl.BlockSpec((1, 1, 1), dmap2, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, W, C), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), dtype),
         interpret=interpret,
     )(x_img, x_img, x_img, lns.reshape(1, C), lnb.reshape(1, C),
-      w1, b1, wd, bd, w2, b2)
+      w1, b1, wd, bd, w2, b2, dps_arr)
 
 
-def _xla_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps):
+def _xla_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps,
+                   dps=None):
     """Unfused LN2+LeFF+residual (backward recompute + parity tests)."""
     dtype = x_img.dtype
     xf = x_img.astype(jnp.float32)
@@ -992,12 +1063,14 @@ def _xla_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps):
     h = _gelu(h + bd)
     y = jnp.einsum("bhwd,dc->bhwc", h.astype(dtype), w2.astype(dtype),
                    preferred_element_type=jnp.float32) + b2
+    if dps is not None:
+        y = y * dps.astype(jnp.float32)[:, None, None, None]
     return (xf + y).astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def fused_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2,
-                    eps: float = 1e-6, interpret=None):
+                    eps: float = 1e-6, interpret=None, dps=None):
     """``x + linear2(gelu(dwconv(gelu(linear1(LN(x))))))`` fused in VMEM.
 
     Args:
@@ -1005,25 +1078,42 @@ def fused_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2,
       lns, lnb: ``[C]`` LayerNorm scale/bias.
       w1 ``[C, Hd]``, b1 ``[Hd]``, wd ``[3, 3, Hd]`` depthwise taps,
       bd ``[Hd]``, w2 ``[Hd, C]``, b2 ``[C]``.
+      dps: optional ``[B]`` per-image DropPath branch scale
+        (``out = x + dps_b * branch``, stochastic depth in-kernel).
     Returns ``[B, H, W, C]`` in x's dtype.
     """
-    impl = functools.partial(_ffn_forward, eps=eps, interpret=interpret)
+    impl = lambda *a: _ffn_forward(*a[:9], eps, interpret, dps=a[9])
     return _spmd_call(
         impl,
         [(x_img, 0), (lns, None), (lnb, None), (w1, None), (b1, None),
-         (wd, None), (bd, None), (w2, None), (b2, None)])
+         (wd, None), (bd, None), (w2, None), (b2, None), (dps, 0)])
 
 
-def _ffn_fwd(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps, interpret):
+def _ffn_fwd(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps, interpret,
+             dps):
     out = fused_block_ffn(x_img, lns, lnb, w1, b1, wd, bd, w2, b2, eps,
-                          interpret)
-    return out, (x_img, lns, lnb, w1, b1, wd, bd, w2, b2)
+                          interpret, dps)
+    return out, (x_img, lns, lnb, w1, b1, wd, bd, w2, b2, dps)
 
 
 def _ffn_bwd(eps, interpret, res, g):
-    x_img, lns, lnb, w1, b1, wd, bd, w2, b2 = res
+    x_img, lns, lnb, w1, b1, wd, bd, w2, b2, dps = res
     from .lewin_block_bwd import (ffn_bwd_fits, _ffn_bwd_choose_t,
                                   use_bwd_kernel)
+
+    # in-kernel DropPath: see _attn_bwd — scale the cotangent, correct dx
+    g_eff = g
+    ddps = None if dps is None else jnp.zeros_like(dps)
+    if dps is not None:
+        sf = dps.astype(jnp.float32)[:, None, None, None]
+        g_eff = (g.astype(jnp.float32) * sf).astype(g.dtype)
+
+    def _fix_dx(dx):
+        if dps is None:
+            return dx
+        out = (dx.astype(jnp.float32)
+               + (1.0 - sf) * g.astype(jnp.float32))
+        return out.astype(dx.dtype)
 
     B, H, W, C = x_img.shape
     Hd = w1.shape[1]
@@ -1037,16 +1127,18 @@ def _ffn_bwd(eps, interpret, res, g):
         impl = functools.partial(ffn_block_bwd, eps=eps, interpret=itp)
         grads = _spmd_call(
             impl,
-            [(x_img, 0), (g, 0), (lns, None), (lnb, None), (w1, None),
+            [(x_img, 0), (g_eff, 0), (lns, None), (lnb, None), (w1, None),
              (b1, None), (wd, None), (bd, None), (w2, None), (b2, None)],
             out_batch_dims=(0,) + (None,) * 8,
             reduced_out=tuple(range(1, 9)))
-        return _cast_like(grads,
-                          (x_img, lns, lnb, w1, b1, wd, bd, w2, b2))
+        grads = _cast_like(grads,
+                           (x_img, lns, lnb, w1, b1, wd, bd, w2, b2))
+        return (_fix_dx(grads[0]),) + grads[1:] + (ddps,)
 
     _, vjp = jax.vjp(lambda *a: _xla_block_ffn(*a, eps),
                      x_img, lns, lnb, w1, b1, wd, bd, w2, b2)
-    return vjp(g)
+    grads = vjp(g_eff)
+    return (_fix_dx(grads[0]),) + grads[1:] + (ddps,)
 
 
 fused_block_ffn.defvjp(_ffn_fwd, _ffn_bwd)
@@ -1192,9 +1284,10 @@ fused_freq_intra.defvjp(_freq_intra_fwd, _freq_intra_bwd)
 
 
 def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
-                       bp_ref, bias_ref, mask_ref, out_ref, *, L: int,
-                       T: int, W: int, C: int, h: int, win: int,
-                       has_mask: bool, dtype, ldt=jnp.float32):
+                       bp_ref, bias_ref, mask_ref, dps_ref, out_ref, *,
+                       L: int, T: int, W: int, C: int, h: int, win: int,
+                       has_mask: bool, has_dps: bool, dtype,
+                       ldt=jnp.float32):
     n = win * win
     nw = (T // win) * (W // win)
     Ln = L * n
@@ -1245,17 +1338,22 @@ def _freq_inter_kernel(y_ref, res_ref, wqkv_ref, bqkv_ref, wp_ref,
         preferred_element_type=jnp.float32)
     acc = acc + bp_ref[0]
 
-    # back to band-major + residual
+    # back to band-major + residual (dps: per-folded-sample DropPath
+    # branch scale — the whole MSA output (intra+inter) is the branch,
+    # so the scale applies here where the shortcut is added)
     accb = (acc.reshape(nw, L, n, C).transpose(1, 0, 2, 3)
                .reshape(L, nw * n, C))
     for l in range(L):
-        out_ref[l, 0] = (_win_unpack(accb[l], T, W, win, C)
-                         + res_ref[l, 0].astype(jnp.float32)
+        br = _win_unpack(accb[l], T, W, win, C)
+        if has_dps:
+            br = br * dps_ref[0, l, 0]
+        out_ref[l, 0] = (br + res_ref[l, 0].astype(jnp.float32)
                          ).astype(out_ref.dtype)
 
 
 def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
-                        wp3, bp, biasB, mask, L, win, eps, interpret):
+                        wp3, bp, biasB, mask, L, win, eps, interpret,
+                        dps=None):
     interpret = _resolve_interpret(interpret)
     LB, H, W, C = y_img.shape
     B = LB // L
@@ -1302,9 +1400,22 @@ def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
         [b.reshape(C) for b in (bq3 * scale, bk3, bv3)]
     ).reshape(1, 3 * C).astype(jnp.float32)
     wp = wp3.reshape(C, C).astype(dt)
+    has_dps = dps is not None
+    if has_dps:
+        # image-major [B, L, 1]: the grid indexes the leading dim and the
+        # trailing (L, 1) block equals the full array dims (Mosaic needs
+        # the last-two block dims full or (8, 128)-aligned)
+        dps_arr = (dps.astype(jnp.float32).reshape(L, B)
+                   .T.reshape(B, L, 1))
+        dps_spec = pl.BlockSpec((1, L, 1), lambda b, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        dps_arr = jnp.ones((1, L, 1), jnp.float32)
+        dps_spec = pl.BlockSpec((1, L, 1), lambda b, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _freq_inter_kernel, L=L, T=T, W=W, C=C, h=h, win=win,
-        has_mask=has_mask, dtype=y_img.dtype, ldt=ldt)
+        has_mask=has_mask, has_dps=has_dps, dtype=y_img.dtype, ldt=ldt)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((L, 1, T, W, C), lambda b, i: (0, b, i, 0, 0),
@@ -1317,7 +1428,7 @@ def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
             vspec(C, 3 * C), vspec(1, 3 * C),
             vspec(C, C), vspec(1, C),
             vspec(h, L * n, L * n),
-            mask_spec,
+            mask_spec, dps_spec,
         ],
         out_specs=pl.BlockSpec((L, 1, T, W, C),
                                lambda b, i: (0, b, i, 0, 0),
@@ -1325,24 +1436,27 @@ def _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
         out_shape=jax.ShapeDtypeStruct((L, B, H, W, C), y_img.dtype),
         interpret=interpret,
     )(y5, r5, wqkv, bqkv, wp, bp.reshape(1, C),
-      biasB.astype(ldt), m)
+      biasB.astype(ldt), m, dps_arr)
     return out.reshape(LB, H, W, C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def fused_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
-                     bp, biasB, mask, L: int, win: int = 8,
-                     eps: float = 1e-6, interpret=None):
+                     bp, biasB, mask, L: int = 1, win: int = 8,
+                     eps: float = 1e-6, interpret=None, dps=None):
     """Inter-band half of the frequency-MSA block:
     ``res + proj(grouped_attn(y))`` where the attention runs over the
     window-grouped ``(L*n)``-token sequence with the cross-band-only bias
     ``biasB [h, L*n, L*n]`` (the L x L relative-position tables plus the
     'inter' band mask, encoder_Uformer.py:259-313). ``res_img`` is the
     block's shortcut (pre-LN1 x). Shapes as :func:`fused_freq_intra`.
+    ``dps``: optional ``[L*B]`` per-folded-sample DropPath branch scale
+    (the whole intra+inter MSA output is the DropPath branch; its
+    shortcut is added here, so the scale applies here).
     """
     return _freq_inter_forward(y_img, res_img, wq3, bq3, wk3, bk3, wv3,
                                bv3, wp3, bp, biasB, mask, L, win, eps,
-                               interpret)
+                               interpret, dps=dps)
 
 
 def _xla_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
@@ -1399,22 +1513,33 @@ def _xla_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
 
 
 def _freq_inter_fwd(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
-                    bp, biasB, mask, L, win, eps, interpret):
+                    bp, biasB, mask, L, win, eps, interpret, dps):
     out = fused_freq_inter(y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3,
-                           wp3, bp, biasB, mask, L, win, eps, interpret)
+                           wp3, bp, biasB, mask, L, win, eps, interpret,
+                           dps)
     return out, (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
-                 biasB, mask)
+                 biasB, mask, dps)
 
 
 def _freq_inter_bwd(L, win, eps, interpret, res, g):
     (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasB,
-     mask) = res
+     mask, dps) = res
     itp = _resolve_interpret(interpret)
     dmask = None if mask is None else jnp.zeros_like(mask)
 
+    # in-kernel DropPath out = res + s*f(y): the branch grads (dy and
+    # weight grads) are the plain backward fed the scaled cotangent s*g
+    # (per-folded-sample s commutes with the per-sample branch); the
+    # residual grad stays the UNSCALED g. dps is an rng draw -> no grad.
+    g_eff = g
+    ddps = None if dps is None else jnp.zeros_like(dps)
+    if dps is not None:
+        sf = dps.astype(jnp.float32)[:, None, None, None]
+        g_eff = (g.astype(jnp.float32) * sf).astype(g.dtype)
+
     from .lewin_block_bwd import freq_inter_bwd, use_bwd_kernel
     if use_bwd_kernel():
-        grads = freq_inter_bwd(y_img, g, wq3, bq3, wk3, bk3, wv3, bv3,
+        grads = freq_inter_bwd(y_img, g_eff, wq3, bq3, wk3, bk3, wv3, bv3,
                                wp3, bp, biasB, mask, L, win, itp)
         if grads is not None:
             # the residual passes g straight through: dres = g
@@ -1423,15 +1548,19 @@ def _freq_inter_bwd(L, win, eps, interpret, res, g):
                 (grads[0], dres) + grads[1:],
                 (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                  biasB))
-            return grads + (dmask,)
+            return grads + (dmask, ddps)
 
     diff = (y_img, res_img, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, biasB)
     rk = _use_fused_bwd()
     _, vjp = jax.vjp(
         lambda *a: _xla_freq_inter(*a, mask, L, win, eps,
                                    route_kernel=rk, interpret=itp), *diff)
-    dmask = None if mask is None else jnp.zeros_like(mask)
-    return vjp(g) + (dmask,)
+    grads = vjp(g_eff)
+    if dps is not None:
+        # the composite includes the residual, which must see the
+        # unscaled cotangent
+        grads = (grads[0], g.astype(res_img.dtype)) + grads[2:]
+    return grads + (dmask, ddps)
 
 
 fused_freq_inter.defvjp(_freq_inter_fwd, _freq_inter_bwd)
@@ -1534,10 +1663,13 @@ def _cols_rot(v, s: int):
 def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                    wp_ref, bp_ref, bias_ref, mask_ref, lam_ref, ln2s_ref,
                    ln2b_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
-                   b2_ref, out_ref, acur_ref, aprev_ref, l1_ref, f_ref, *,
-                   T: int, W: int, C: int, Hd: int, h: int, win: int,
-                   P: int, s: int, nI: int, eps: float, has_mask: bool,
-                   has_lam: bool, dtype, ldt=jnp.float32):
+                   b2_ref, dps_ref, out_ref, acur_ref, aprev_ref, l1_ref,
+                   f_ref, *, T: int, W: int, C: int, Hd: int, h: int,
+                   win: int, P: int, s: int, nI: int, eps: float,
+                   has_mask: bool, has_lam: bool, has_dps: bool,
+                   dtype, ldt=jnp.float32):
+    # dps_ref: [1, 1, 2] per-image DropPath branch scales — [..., 0] for
+    # the attention half, [..., 1] for the FFN half (see fused_block_merged)
     i = pl.program_id(1)
     n = win * win
     nw_tile = (T // win) * (W // win)
@@ -1599,10 +1731,13 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                 head_outs.append(og.astype(dtype))
             group_outs.append(jnp.concatenate(head_outs, axis=1))
         out_all = jnp.concatenate(group_outs, axis=0)    # [M, C]
-        acc = acc + jax.lax.dot_general(
+        br = jax.lax.dot_general(
             out_all, wp_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bp_ref[0]
+        if has_dps:
+            br = br * dps_ref[0, 0, 0]   # attention-half DropPath scale
+        acc = acc + br
         acur_ref[...] = _win_unpack(acc, T, W, win, C).astype(dtype)
 
     if s > 0:
@@ -1661,8 +1796,10 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
         facc.reshape(T * W, Hd).astype(dtype), w2_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    y = (y + b2_ref[...]
-         + rows[1:T + 1].astype(jnp.float32).reshape(T * W, C))
+    y = y + b2_ref[...]
+    if has_dps:
+        y = y * dps_ref[0, 0, 1]         # FFN-half DropPath scale
+    y = y + rows[1:T + 1].astype(jnp.float32).reshape(T * W, C)
 
     @pl.when(i >= 1)
     def _emit():
@@ -1678,7 +1815,8 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
 
 def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
                     bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2,
-                    b2, win: int, shift: int, eps: float, interpret):
+                    b2, win: int, shift: int, eps: float, interpret,
+                    dps1=None, dps2=None):
     interpret = _resolve_interpret(interpret)
     B, H, W, C = x_img.shape
     h = wq3.shape[0]
@@ -1746,10 +1884,25 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
         lam_spec = pl.BlockSpec((1, 1, h), lambda b, i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+    has_dps = dps1 is not None
+    assert (dps2 is not None) == has_dps, "dps1/dps2 come as a pair"
+    if has_dps:
+        # [B, 1, 2]: per-image (attn, ffn) DropPath branch scales; the
+        # trailing (1, 2) block equals the full array dims
+        dps_arr = jnp.stack(
+            [dps1.astype(jnp.float32), dps2.astype(jnp.float32)],
+            axis=-1).reshape(B, 1, 2)
+        dps_spec = pl.BlockSpec((1, 1, 2), lambda b, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        dps_arr = jnp.ones((1, 1, 2), jnp.float32)
+        dps_spec = pl.BlockSpec((1, 1, 2), lambda b, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
     kernel = functools.partial(
         _merged_kernel, T=T, W=W, C=C, Hd=Hd, h=h, win=win, P=P, s=s,
-        nI=nI, eps=eps, has_mask=has_mask, has_lam=has_lam, dtype=dt,
-        ldt=ldt)
+        nI=nI, eps=eps, has_mask=has_mask, has_lam=has_lam,
+        has_dps=has_dps, dtype=dt, ldt=ldt)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     xspec_cur = pl.BlockSpec((1, T, W, C),
@@ -1781,6 +1934,7 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
             vspec(1, C), vspec(1, C),                          # ln2
             vspec(C, Hd), vspec(Hd), vspec(3, 3, Hd), vspec(Hd),
             vspec(Hd, C), vspec(C),
+            dps_spec,
         ],
         out_specs=pl.BlockSpec((1, T, W, C), out_map,
                                memory_space=pltpu.VMEM),
@@ -1797,76 +1951,87 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
       wqkv, bqkv, wp, bp.reshape(1, C), bias_p, mask_arr, lam_arr,
       ln2s.reshape(1, C), ln2b.reshape(1, C),
       w1.astype(dt), b1.astype(jnp.float32), wd.astype(jnp.float32),
-      bd.astype(jnp.float32), w2.astype(dt), b2.astype(jnp.float32))
+      bd.astype(jnp.float32), w2.astype(dt), b2.astype(jnp.float32),
+      dps_arr)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(22, 23, 24, 25))
 def fused_block_merged(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3,
                        wp3, bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd,
                        bd, w2, b2, win: int = 8, shift: int = 0,
-                       eps: float = 1e-6, interpret=None):
-    """One whole LeWin block — ``u = x + proj(win_attn(LN1(x)));
-    out = u + LeFF(LN2(u))`` — in a single pallas_call, on the TRUE-layout
-    image (the SW-MSA roll for ``shift > 0`` is absorbed into the kernel's
-    tile assembly). Numerically identical to
+                       eps: float = 1e-6, interpret=None, dps1=None,
+                       dps2=None):
+    """One whole LeWin block — ``u = x + dps1 * proj(win_attn(LN1(x)));
+    out = u + dps2 * LeFF(LN2(u))`` — in a single pallas_call, on the
+    TRUE-layout image (the SW-MSA roll for ``shift > 0`` is absorbed into
+    the kernel's tile assembly). Numerically identical to
     ``fused_block_ffn(roll_back(fused_block_attention(roll(x))))``.
 
-    Eval-path kernel: the VJP recomputes through the half-kernel pair's
-    composites (training routes through the pair anyway — DropPath's lerp
-    needs the halves separately, models/uformer_lewin.py)."""
-    impl = functools.partial(_merged_forward, win=win, shift=shift,
-                             eps=eps, interpret=interpret)
+    ``dps1``/``dps2``: optional ``[B]`` per-image DropPath branch scales
+    (values {0, 1/keep}, both given or both None) — stochastic depth
+    applied in-kernel, so TRAINING can use the single-dispatch block too
+    (r4; previously DropPath's external lerp forced the half-kernel
+    pair). The VJP chains the two fused halves' custom VJPs, so the
+    backward runs the dedicated Pallas backward kernels
+    (ops/pallas/lewin_block_bwd.py) exactly like the pair path."""
+    impl = lambda *a: _merged_forward(*a[:22], win, shift, eps, interpret,
+                                      dps1=a[22], dps2=a[23])
     return _spmd_call(
         impl,
         [(x_img, 0), (ln1s, None), (ln1b, None), (wq3, None), (bq3, None),
          (wk3, None), (bk3, None), (wv3, None), (bv3, None), (wp3, None),
          (bp, None), (bias, None), (mask, None), (lam, 0),
          (ln2s, None), (ln2b, None), (w1, None), (b1, None), (wd, None),
-         (bd, None), (w2, None), (b2, None)])
+         (bd, None), (w2, None), (b2, None), (dps1, 0), (dps2, 0)])
 
 
 def _merged_fwd(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                 bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2, win,
-                shift, eps, interpret):
+                shift, eps, interpret, dps1, dps2):
     out = fused_block_merged(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3,
                              bv3, wp3, bp, bias, mask, lam, ln2s, ln2b,
                              w1, b1, wd, bd, w2, b2, win, shift, eps,
-                             interpret)
+                             interpret, dps1, dps2)
     return out, (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
-                 bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
+                 bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2,
+                 dps1, dps2)
 
 
 def _merged_bwd(win, shift, eps, interpret, res, g):
     (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias, mask,
-     lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2) = res
-    itp = _resolve_interpret(interpret)
-    rk = _use_fused_bwd()
+     lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2, dps1, dps2) = res
     dmask = None if mask is None else jnp.zeros_like(mask)
+    ddps1 = None if dps1 is None else jnp.zeros_like(dps1)
+    ddps2 = None if dps2 is None else jnp.zeros_like(dps2)
 
-    def composite(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
-                  bp, bias, lam_, ln2s, ln2b, w1, b1, wd, bd, w2, b2):
+    # Chain the two fused halves: their custom VJPs route to the
+    # dedicated Pallas backward kernels (attn_block_bwd/ffn_block_bwd)
+    # and already handle the in-kernel DropPath scales. mask/dps enter by
+    # closure (their cotangents are the zeros above).
+    def pair(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
+             bias, lam_, ln2s, ln2b, w1, b1, wd, bd, w2, b2):
         img = x_img
         if shift > 0:
             img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
-        u = _xla_block_attention(img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3,
-                                 bv3, wp3, bp, bias, mask, lam_, win, eps,
-                                 route_kernel=rk, interpret=itp)
+        u = fused_block_attention(img, ln1s, ln1b, wq3, bq3, wk3, bk3,
+                                  wv3, bv3, wp3, bp, bias, mask, lam_,
+                                  win, eps, interpret, dps1)
         if shift > 0:
             u = jnp.roll(u, (shift, shift), axis=(1, 2))
-        return _xla_block_ffn(u, ln2s, ln2b, w1, b1, wd, bd, w2, b2, eps)
+        return fused_block_ffn(u, ln2s, ln2b, w1, b1, wd, bd, w2, b2,
+                               eps, interpret, dps2)
 
     if lam is None:
         diff = (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                 bias, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
-        _, vjp = jax.vjp(
-            lambda *a: composite(*a[:12], None, *a[12:]), *diff)
+        _, vjp = jax.vjp(lambda *a: pair(*a[:12], None, *a[12:]), *diff)
         gr = vjp(g)
-        return gr[:12] + (dmask, None) + gr[12:]
+        return gr[:12] + (dmask, None) + gr[12:] + (ddps1, ddps2)
     diff = (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
             bias, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
-    _, vjp = jax.vjp(composite, *diff)
+    _, vjp = jax.vjp(pair, *diff)
     gr = vjp(g)
-    return gr[:12] + (dmask,) + gr[12:]
+    return gr[:12] + (dmask,) + gr[12:] + (ddps1, ddps2)
 
 
 fused_block_merged.defvjp(_merged_fwd, _merged_bwd)

@@ -650,3 +650,197 @@ def test_lewin_block_fused_freq_grads_match(rng, monkeypatch):
                     jax.tree_util.tree_leaves(g_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel DropPath (dps): forward branch scaling + the VJP's
+# scaled-cotangent / dx-correction math, per kernel and at block level
+# ---------------------------------------------------------------------------
+
+
+def _dps(rng, B, keep=0.5):
+    """Realistic stochastic-depth scales: values in {0, 1/keep}."""
+    return jnp.asarray((rng.random(B) < keep).astype(np.float32) / keep)
+
+
+def test_attention_half_dps_forward_and_grads(rng):
+    B, H, W, C, h, win = 4, 16, 16, 16, 2, 8
+    args = _attn_args(rng, B=B, H=H, W=W, C=C, h=h, win=win)
+    s = _dps(rng, B)
+    assert float(jnp.min(s)) == 0.0 and float(jnp.max(s)) > 1.0
+
+    got = lb.fused_block_attention(*args, None, None, win, 1e-6, True, s)
+    want = lb._xla_block_attention(*args, None, None, win, 1e-6, dps=s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+    def loss_f(x, wq3, bp):
+        a = (x,) + args[1:3] + (wq3,) + args[4:10] + (bp, args[11])
+        return jnp.sum(lb.fused_block_attention(
+            *a, None, None, win, 1e-6, True, s) ** 2)
+
+    def loss_r(x, wq3, bp):
+        a = (x,) + args[1:3] + (wq3,) + args[4:10] + (bp, args[11])
+        return jnp.sum(lb._xla_block_attention(
+            *a, None, None, win, 1e-6, dps=s) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(args[0], args[3], args[10])
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(args[0], args[3], args[10])
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ffn_half_dps_forward_and_grads(rng):
+    args = _ffn_args(rng, B=4, H=8, W=8, C=8, Hd=8)
+    s = _dps(rng, 4)
+
+    got = lb.fused_block_ffn(*args, 1e-6, True, s)
+    want = lb._xla_block_ffn(*args, 1e-6, dps=s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+    def loss_f(x, w1, b2):
+        return jnp.sum(lb.fused_block_ffn(
+            x, *args[1:3], w1, *args[4:8], b2, 1e-6, True, s) ** 2)
+
+    def loss_r(x, w1, b2):
+        return jnp.sum(lb._xla_block_ffn(
+            x, *args[1:3], w1, *args[4:8], b2, 1e-6, dps=s) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(args[0], args[3], args[8])
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(args[0], args[3], args[8])
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_freq_inter_dps_forward_and_grads(rng):
+    L, B, h, win = 2, 2, 2, 8
+    n = win * win
+    x, lns, lnb, qkv, wp3, bp = _freq_args(rng, L=L, B=B, h=h)
+    res = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    biasB = jnp.asarray(rng.standard_normal((h, L * n, L * n))
+                        .astype(np.float32)) * 0.05
+    s = _dps(rng, L * B)  # per folded (band-major) sample
+
+    # reference: res + s * branch, branch via the composite with res=0
+    def ref(y, res, wq3):
+        br = lb._xla_freq_inter(y, jnp.zeros_like(res), wq3, *qkv[1:],
+                                wp3, bp, biasB, None, L, win, 1e-6)
+        return (res.astype(jnp.float32)
+                + s[:, None, None, None] * br.astype(jnp.float32))
+
+    got = lb.fused_freq_inter(x, res, *qkv, wp3, bp, biasB, None,
+                              L, win, 1e-6, True, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, res, qkv[0])),
+                               rtol=5e-5, atol=5e-5)
+
+    def loss_f(y, res, wq3):
+        return jnp.sum(lb.fused_freq_inter(
+            y, res, wq3, *qkv[1:], wp3, bp, biasB, None, L, win, 1e-6,
+            True, s) ** 2)
+
+    def loss_r(y, res, wq3):
+        return jnp.sum(ref(y, res, wq3) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, res, qkv[0])
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, res, qkv[0])
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_merged_block_dps_matches_pair(rng, shift):
+    """Merged kernel with in-kernel DropPath == the half pair with the
+    same dps — training's single-dispatch path."""
+    B, H, W, C, h, win = 2, 32, 32, 16, 2, 8
+    args = _attn_args(rng, B=B, H=H, W=W, C=C, h=h, win=win)
+    x = args[0]
+    mask = (jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+            if shift else None)
+    lam = jnp.asarray(rng.standard_normal((B, h)).astype(np.float32)) * 0.3
+    ffn = _merged_ffn_args(rng, C, 4 * C)
+    s1, s2 = _dps(rng, B), _dps(rng, B)
+
+    img = x
+    if shift:
+        img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+    y = lb.fused_block_attention(img, *args[1:], mask, lam, win, 1e-6,
+                                 True, s1)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    want = lb.fused_block_ffn(y, *ffn, 1e-6, True, s2)
+
+    got = lb.fused_block_merged(x, *args[1:], mask, lam, *ffn, win,
+                                shift, 1e-6, True, s1, s2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_merged_block_dps_grads(rng):
+    """Merged VJP with dps (chained fused halves) == grads of the XLA
+    composite chain with the same scales."""
+    B, H, W, C, h, win, shift = 2, 16, 16, 8, 1, 8, 4
+    args = _attn_args(rng, B=B, H=H, W=W, C=C, h=h, win=win)
+    x = args[0]
+    mask = jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+    ffn = _merged_ffn_args(rng, C, 4 * C)
+    s1, s2 = _dps(rng, B), _dps(rng, B)
+
+    def loss_merged(x, wq3, w1):
+        a = (x,) + args[1:3] + (wq3,) + args[4:]
+        out = lb.fused_block_merged(*a, mask, None, ffn[0], ffn[1], w1,
+                                    *ffn[3:], win, shift, 1e-6, True,
+                                    s1, s2)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x, wq3, w1):
+        img = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        y = lb._xla_block_attention(img, *args[1:3], wq3, *args[4:],
+                                    mask, None, win, 1e-6, dps=s1)
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        out = lb._xla_block_ffn(y, ffn[0], ffn[1], w1, *ffn[3:], 1e-6,
+                                dps=s2)
+        return jnp.sum(out ** 2)
+
+    gm = jax.grad(loss_merged, argnums=(0, 1, 2))(x, args[3], ffn[2])
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, args[3], ffn[2])
+    for a, b in zip(gm, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("mode", ["origin-merged", "origin-pair", "freq"])
+def test_lewin_block_fused_droppath_grads_match(rng, monkeypatch, mode):
+    """Block-level training grads with drop_path > 0: the fused paths'
+    in-kernel dps (merged single-dispatch, half pair, freq halves) match
+    the unfused path's DropPath grads draw for draw."""
+    kw = dict(drop_path=0.5, shift_size=4)
+    if mode == "freq":
+        kw.update(msa_type="freq", L=2)
+    blk = _block_cfg(**kw)
+    B = 8 if mode == "freq" else 4
+    x = jnp.asarray(rng.standard_normal((B, 256, 16)).astype(np.float32))
+    if mode == "origin-merged":
+        monkeypatch.setenv("FAIRM_MERGED_MIN_RES", "16")
+    else:
+        monkeypatch.setenv("FAIRM_MERGED_BLOCK", "0")
+
+    monkeypatch.setenv("FAIRM_FUSED_BLOCK", "0")
+    v = blk.init({"params": jax.random.PRNGKey(0),
+                  "droppath": jax.random.PRNGKey(1)}, x)
+
+    def loss(vv, x, flag):
+        monkeypatch.setenv("FAIRM_FUSED_BLOCK", flag)
+        out, _ = blk.apply(vv, x, deterministic=False,
+                           rngs={"droppath": jax.random.PRNGKey(7)})
+        return jnp.sum(out ** 2)
+
+    g_u = jax.grad(loss)(v, x, "0")
+    g_f = jax.grad(loss)(v, x, "1")
+    for a, b in zip(jax.tree_util.tree_leaves(g_u),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
