@@ -140,10 +140,6 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
     # window-major tokens, images stacked: [Q*M, C]. Row blocks of T are
     # whole images (T % win == 0), so windows never span images.
     xw = _win_pack(xn.astype(dtype), Q * T, W, win, C)
-    if res:
-        acc = _win_pack(xf, Q * T, W, win, C)        # residual, fp32
-    else:
-        acc = jnp.zeros((Q * M, C), jnp.float32)
 
     # ONE full-width qkv matmul [Q*M, C] @ [C, 3C] — per-head matmuls
     # (N = d = 56 lanes) waste >half the MXU; head q/k/v are lane slices
@@ -197,12 +193,16 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref,
         out_all, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bp_ref[0]
     if has_dps:
-        # in-kernel DropPath: acc(residual) + s_q * branch, s per image
+        # in-kernel DropPath: x(residual) + s_q * branch, s per image
         br = (br.reshape(Q, M, C)
               * dps_ref[...].reshape(Q, 1, 1)).reshape(Q * M, C)
-    acc = acc + br
-    out_ref[...] = (_win_unpack(acc, Q * T, W, win, C)
-                    .reshape(Q, T, W, C).astype(out_ref.dtype))
+    # residual added in IMAGE layout on the already-resident x tile —
+    # saves a packed fp32 [Q*M, C] copy vs accumulating into packed(xf)
+    # (elementwise in fp32 either way, bit-identical)
+    y = _win_unpack(br, Q * T, W, win, C)
+    if res:
+        y = y + xf
+    out_ref[...] = y.reshape(Q, T, W, C).astype(out_ref.dtype)
 
 
 def _pack_bias_np(P: int, n: int) -> np.ndarray:
@@ -253,10 +253,6 @@ def _attn_kernel_split(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
     @pl.when(kq == 2)
     def _attend():
-        if res:
-            acc = _win_pack(xf, T, W, win, C)        # residual, fp32
-        else:
-            acc = jnp.zeros((nw_tile * n, C), jnp.float32)
         qkv = qkv_s[...]
         group_outs = []
         for g in range(G):
@@ -293,9 +289,10 @@ def _attn_kernel_split(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             preferred_element_type=jnp.float32) + bp_ref[0]
         if has_dps:
             br = br * dps_ref[0, 0, 0]
-        acc = acc + br
-        out_ref[...] = (_win_unpack(acc, T, W, win, C)
-                        .reshape(1, T, W, C).astype(out_ref.dtype))
+        y = _win_unpack(br, T, W, win, C)       # residual in image layout
+        if res:
+            y = y + xf
+        out_ref[...] = y.reshape(1, T, W, C).astype(out_ref.dtype)
 
 
 def _attn_weights_fit(C: int, itemsize: int) -> bool:
@@ -1693,7 +1690,6 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
         xn_ = xn_ * ln1s_ref[0] + ln1b_ref[0]
 
         xw = _win_pack(xn_.astype(dtype), T, W, win, C)  # [M, C]
-        acc = _win_pack(xf, T, W, win, C)                # residual, fp32
 
         qkv = jax.lax.dot_general(
             xw, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -1737,8 +1733,9 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
             preferred_element_type=jnp.float32) + bp_ref[0]
         if has_dps:
             br = br * dps_ref[0, 0, 0]   # attention-half DropPath scale
-        acc = acc + br
-        acur_ref[...] = _win_unpack(acc, T, W, win, C).astype(dtype)
+        # residual in image layout (saves a packed fp32 [M, C] copy)
+        acur_ref[...] = (_win_unpack(br, T, W, win, C)
+                         + xf).astype(dtype)
 
     if s > 0:
         @pl.when(i == 0)
