@@ -135,6 +135,11 @@ class Config:
     remat: bool = True
     dgrn_groups: int = 5             # DGRN depth (reference decoder_DGRN.py:117-118)
     dgrn_blocks: int = 5
+    # cap each Uformer stage's block count at this value (None = reference
+    # depths). Test/dryrun-only knob: shrinks the traced program (the
+    # flagship traces ~50 LeWin blocks) while keeping >=1 block of every
+    # stage/feature under test. Never set for real training.
+    uformer_depth_cap: Optional[int] = None
 
     # ---- derived (reference option.py:76-103) ----
     batch_size: int = dataclasses.field(default=4)
@@ -267,6 +272,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_remat", dest="remat", action="store_false")
     p.add_argument("--dgrn_groups", type=int, default=5)
     p.add_argument("--dgrn_blocks", type=int, default=5)
+    p.add_argument("--uformer_depth_cap", type=int, default=None)
     return p
 
 
@@ -340,6 +346,7 @@ def finalize(ns: argparse.Namespace) -> Config:
         remat=ns.remat,
         dgrn_groups=ns.dgrn_groups,
         dgrn_blocks=ns.dgrn_blocks,
+        uformer_depth_cap=ns.uformer_depth_cap,
         batch_size=batch_size,
         ckpt_path=output_path + "ckpt/",  # option.py:78
     )

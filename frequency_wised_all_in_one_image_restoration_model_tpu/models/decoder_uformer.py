@@ -96,17 +96,20 @@ class UformerDecoder(nn.Module):
         x = x.astype(self.dtype)
         y = InputProj(ed, dtype=self.dtype, name="input_proj")(x)
 
-        n_enc = len(DECODER_DEPTHS) // 2
+        depths = DECODER_DEPTHS
+        if cfg.uformer_depth_cap is not None:  # test/dryrun shrink knob
+            depths = tuple(min(d, cfg.uformer_depth_cap) for d in depths)
+        n_enc = len(depths) // 2
         enc_dpr = list(np.linspace(0.0, self.drop_path_rate,
-                                   sum(DECODER_DEPTHS[:n_enc])))
-        conv_dpr = [self.drop_path_rate] * DECODER_DEPTHS[4]
+                                   sum(depths[:n_enc])))
+        conv_dpr = [self.drop_path_rate] * depths[4]
         dec_dpr = enc_dpr[::-1]
 
         eed = cfg.encoder_embed_dim
 
         def enc_stage(i, tokens):
-            depth = DECODER_DEPTHS[i]
-            lo = sum(DECODER_DEPTHS[:i])
+            depth = depths[i]
+            lo = sum(depths[:i])
             return BasicUformerLayer(
                 dim=ed * (2 ** i), input_resolution=p // (2 ** i),
                 depth=depth, num_heads=DECODER_HEADS[i], win_size=8,
@@ -126,7 +129,7 @@ class UformerDecoder(nn.Module):
 
         # Bottleneck 0 (no injection; decoder_Uformer.py:966-982)
         y, _ = BasicUformerLayer(
-            dim=ed * 16, input_resolution=p // 16, depth=DECODER_DEPTHS[4],
+            dim=ed * 16, input_resolution=p // 16, depth=depths[4],
             num_heads=DECODER_HEADS[4], win_size=8, drop_path=conv_dpr,
             all_bands_num=all_num, all_bands_dc=all_dc,
             lamb_bands_num=lamb_num, lamb_bands_dc=lamb_dc,
@@ -146,7 +149,7 @@ class UformerDecoder(nn.Module):
         # Bottleneck 1: the degradation-injection stage (decoder_Uformer.py:
         # 984-1003, 1150-1151)
         y, _ = BasicUformerLayer(
-            dim=ed * 16, input_resolution=p // 16, depth=DECODER_DEPTHS[4],
+            dim=ed * 16, input_resolution=p // 16, depth=depths[4],
             num_heads=DECODER_HEADS[4], win_size=8, drop_path=conv_dpr,
             injection=per_scale, degradation_dim=eed * 16,
             all_bands_num=all_num, all_bands_dc=all_dc,
@@ -168,8 +171,8 @@ class UformerDecoder(nn.Module):
             if "residual" in methods and pyramid is not None:
                 skip = residual_embed(s, pyramid[s], skip)
             y = jnp.concatenate([y, skip], axis=-1)
-            lo = sum(DECODER_DEPTHS[5:depth_idx]) if depth_idx > 5 else 0
-            depth = DECODER_DEPTHS[depth_idx]
+            lo = sum(depths[5:depth_idx]) if depth_idx > 5 else 0
+            depth = depths[depth_idx]
             y, _ = BasicUformerLayer(
                 dim=ed * (2 ** (s + 1)), input_resolution=p // (2 ** s),
                 depth=depth, num_heads=DECODER_HEADS[depth_idx], win_size=8,

@@ -80,9 +80,12 @@ class UformerEncoder(nn.Module):
 
         # stochastic depth ramp (encoder_Uformer.py:781-783)
         import numpy as np
-        total = sum(ENCODER_DEPTHS[:4])
+        depths = ENCODER_DEPTHS
+        if cfg.uformer_depth_cap is not None:  # test/dryrun shrink knob
+            depths = tuple(min(d, cfg.uformer_depth_cap) for d in depths)
+        total = sum(depths[:4])
         ramp = list(np.linspace(0.0, self.drop_path_rate, total))
-        conv_dpr = [self.drop_path_rate] * ENCODER_DEPTHS[4]
+        conv_dpr = [self.drop_path_rate] * depths[4]
 
         def stage(i, dim, res, depth, heads, dpr):
             return BasicUformerLayer(
@@ -95,7 +98,7 @@ class UformerEncoder(nn.Module):
         y = tokens
         used = 0
         for i in range(4):
-            depth = ENCODER_DEPTHS[i]
+            depth = depths[i]
             y, kv = stage(i, ed * (2 ** i), p // (2 ** i), depth,
                           ENCODER_HEADS[i], ramp[used:used + depth])(
                               y, deterministic=det)
@@ -104,7 +107,7 @@ class UformerEncoder(nn.Module):
             y = Downsample(ed * (2 ** (i + 1)), dtype=self.dtype,
                            name=f"dowsample_{i}")(y)
             used += depth
-        y, kv = stage(4, ed * 16, p // 16, ENCODER_DEPTHS[4],
+        y, kv = stage(4, ed * 16, p // 16, depths[4],
                       ENCODER_HEADS[4], conv_dpr)(y, deterministic=det)
         feats.append(y)
         kvs.append(kv)

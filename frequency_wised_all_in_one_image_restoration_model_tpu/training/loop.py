@@ -140,6 +140,20 @@ def run_training(cfg: Config, startpoint: int = 0,
                     print("  throughput: %.2f steps/s, %.1f samples/s" % (
                         stats["steps_per_sec"], stats["samples_per_sec"]))
 
+            # numerics tripwire: the fused kernels' default static softmax
+            # shift (exp(l-16), FAIRM_STATIC_SHIFT) is fp32-safe only while
+            # logits stay <= ~104; LN'd activations keep them 1-2 orders
+            # below that, but logit scale can drift over a long run. Fail
+            # loudly at the epoch boundary (values are fetched here anyway
+            # — zero extra syncs) instead of NaN-ing silently.
+            for k in ("loss", "l1_loss", "contrast_loss"):
+                if k in m and not np.isfinite(float(m[k])):
+                    raise FloatingPointError(
+                        f"non-finite {k}={float(m[k])} at epoch {epoch}. "
+                        "If logits overflowed the static softmax shift, "
+                        "rerun with FAIRM_STATIC_SHIFT=off (per-row max "
+                        "subtraction) and restart from the last checkpoint.")
+
             if logs is not None:
                 if epoch < cfg.epochs_encoder:
                     logs.log_epoch_encoder(epoch, float(m["contrast_loss"]))

@@ -65,6 +65,49 @@ def test_attention_half_all_dc_lam(rng):
                                rtol=5e-5, atol=5e-5)
 
 
+def test_static_shift_overflow_boundary(rng, monkeypatch):
+    """The default static softmax shift (exp(l - 16)) is fp32-safe only
+    while logits <= ~104. Pin both sides of that contract with weights
+    scaled to push window logits past the bound: the static path goes
+    non-finite (the train loop's epoch tripwire catches this, training/
+    loop.py) and FAIRM_STATIC_SHIFT=off (per-row max subtraction) stays
+    finite and matches the XLA composite."""
+    args = list(_attn_args(rng, B=1, H=8, W=8, C=8, h=1))
+    # LN inside the kernel normalizes x, so scale the q/k projections;
+    # 40x each => logits ~ (0.2*40)^2 * d ~ 5e2-1e4 >> 104
+    args[3] = args[3] * 40.0   # wq3
+    args[5] = args[5] * 40.0   # wk3
+    logits_max = _max_window_logit(args)
+    assert logits_max > 104.0, f"test setup too tame: {logits_max}"
+
+    monkeypatch.setenv("FAIRM_STATIC_SHIFT", "16")
+    bad = lb.fused_block_attention(*args, None, None, 8, 1e-6, True)
+    assert not np.all(np.isfinite(np.asarray(bad, np.float32)))
+
+    monkeypatch.setenv("FAIRM_STATIC_SHIFT", "off")
+    good = lb.fused_block_attention(*args, None, None, 8, 1e-6, True)
+    want = lb._xla_block_attention(*args, None, None, 8, 1e-6)
+    assert np.all(np.isfinite(np.asarray(good, np.float32)))
+    np.testing.assert_allclose(np.asarray(good), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def _max_window_logit(args):
+    """Max q@k^T window logit for the attention-half args (fp32, numpy)."""
+    x, lns, lnb, wq3, bq3, wk3, bk3 = (np.asarray(a, np.float32)
+                                       for a in args[:7])
+    B, H, W, C = x.shape
+    h, _, d = wq3.shape
+    xf = x.reshape(-1, C)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    xn = (xf - mu) / np.sqrt(var + 1e-6) * lns + lnb
+    q = np.einsum("mc,hcd->hmd", xn, wq3) + bq3[:, None]
+    k = np.einsum("mc,hcd->hmd", xn, wk3) + bk3[:, None]
+    # window == whole 8x8 image here (H=W=win=8): full [M, M] logits
+    return float(np.max(np.einsum("hmd,hnd->hmn", q, k) / np.sqrt(d)))
+
+
 def test_attention_q_packing_shift_mask_multi_tile(rng, monkeypatch):
     """Q-packing (several whole images per grid step) with nI > 1 row
     tiles AND an SW-MSA shift mask: forcing T=win via a zero tile budget
