@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 
@@ -140,6 +141,11 @@ class Config:
     # flagship traces ~50 LeWin blocks) while keeping >=1 block of every
     # stage/feature under test. Never set for real training.
     uformer_depth_cap: Optional[int] = None
+    # stochastic-depth peak rate for the Uformer halves (the reference
+    # hard-codes 0.1, encoder_Uformer.py:750). A Config field so the
+    # effective rate is recorded in options.log with the run (ADVICE r4);
+    # the FAIRM_DROP_PATH env var only seeds the CLI default (A/B probes).
+    drop_path: float = 0.1
 
     # ---- derived (reference option.py:76-103) ----
     batch_size: int = dataclasses.field(default=4)
@@ -273,6 +279,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dgrn_groups", type=int, default=5)
     p.add_argument("--dgrn_blocks", type=int, default=5)
     p.add_argument("--uformer_depth_cap", type=int, default=None)
+    p.add_argument("--drop_path", type=float,
+                   default=float(os.environ.get("FAIRM_DROP_PATH", "0.1")))
     return p
 
 
@@ -347,6 +355,7 @@ def finalize(ns: argparse.Namespace) -> Config:
         dgrn_groups=ns.dgrn_groups,
         dgrn_blocks=ns.dgrn_blocks,
         uformer_depth_cap=ns.uformer_depth_cap,
+        drop_path=ns.drop_path,
         batch_size=batch_size,
         ckpt_path=output_path + "ckpt/",  # option.py:78
     )

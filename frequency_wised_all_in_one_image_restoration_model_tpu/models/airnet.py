@@ -59,12 +59,6 @@ class ModelBundle:
         return self.decoder.apply(variables, x, inter, train=train, rngs=rngs)
 
 
-def _drop_path_rate() -> float:
-    """Stochastic-depth peak rate for the Uformer halves. The reference
-    hard-codes 0.1 (encoder_Uformer.py:750, decoder_Uformer.py analog);
-    FAIRM_DROP_PATH overrides for A/B probes (tools/train_probe.py)."""
-    import os
-    return float(os.environ.get("FAIRM_DROP_PATH", "0.1"))
 
 
 def build_models(cfg: Config, eval_mode: bool = False) -> ModelBundle:
@@ -85,7 +79,7 @@ def build_models(cfg: Config, eval_mode: bool = False) -> ModelBundle:
     elif cfg.encoder_type == "Uformer":
         from .encoder_uformer import UformerEncoder
         encoder = UformerEncoder(cfg=cfg, img_size=cfg.patch_size,
-                                 drop_path_rate=_drop_path_rate(),
+                                 drop_path_rate=cfg.drop_path,
                                  dtype=dtype)
     else:
         raise ValueError(cfg.encoder_type)
@@ -99,7 +93,7 @@ def build_models(cfg: Config, eval_mode: bool = False) -> ModelBundle:
     elif cfg.decoder_type == "Uformer":
         from .decoder_uformer import UformerDecoder
         decoder = UformerDecoder(cfg=cfg, img_size=cfg.patch_size,
-                                 drop_path_rate=_drop_path_rate(),
+                                 drop_path_rate=cfg.drop_path,
                                  dtype=dtype)
     else:
         raise ValueError(cfg.decoder_type)

@@ -186,8 +186,11 @@ class LeWinBlock(nn.Module):
             and not self.is_mutable_collection("intermediates"))
         if fused_freq_ok:
             from ..ops.pallas.lewin_block import (fused_block_ffn,
+                                                  fused_block_freq_merged,
                                                   fused_freq_inter,
-                                                  fused_freq_intra)
+                                                  fused_freq_intra,
+                                                  merged_freq_fits,
+                                                  use_merged_freq)
             from .uformer_blocks import _FusedFreqAttnParams
 
             n1s, n1b = _LNParams(self.dim, name="norm1")()
@@ -199,7 +202,28 @@ class LeWinBlock(nn.Module):
                                            name="attn_inter")()
             dps1 = dp_scale("drop_path1")   # [L*B] per folded sample
             dps2 = dp_scale("drop_path2")
+            n2s, n2b = _LNParams(self.dim, name="norm2")()
+            hidden = int(self.dim * self.mlp_ratio)
+            w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
+                self.dim, hidden, name="mlp")()
             img0 = to_image(x.astype(self.dtype), res, res)
+
+            # single-dispatch whole-block kernel (intra + inter + FFN in
+            # ONE pallas_call, roll absorbed); same parameter modules, so
+            # checkpoints are path-independent
+            merged_ok = (
+                use_merged_freq()
+                and merged_freq_fits(self.dim, hidden,
+                                     self.L,
+                                     jnp.dtype(self.dtype).itemsize,
+                                     res, win))
+            if merged_ok:
+                out = fused_block_freq_merged(
+                    img0, n1s, n1b, *intra_p, *inter_p, attn_mask,
+                    n2s, n2b, w1, b1, wd, bd, w2, b2,
+                    self.L, win, shift, 1e-6, None, dps1, dps2)
+                return to_tokens(out), None
+
             img = img0
             if shift > 0:
                 img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
@@ -213,10 +237,6 @@ class LeWinBlock(nn.Module):
             if shift > 0:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
 
-            n2s, n2b = _LNParams(self.dim, name="norm2")()
-            hidden = int(self.dim * self.mlp_ratio)
-            w1, b1, wd, bd, w2, b2 = _FusedLeFFParams(
-                self.dim, hidden, name="mlp")()
             y2 = fused_block_ffn(y, n2s, n2b, w1, b1, wd, bd, w2, b2,
                                  1e-6, None, dps2)
             return to_tokens(y2), None

@@ -2032,3 +2032,502 @@ def _merged_bwd(win, shift, eps, interpret, res, g):
 
 
 fused_block_merged.defvjp(_merged_fwd, _merged_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Merged frequency-MSA block: intra + inter + FFN in ONE pallas_call
+# ---------------------------------------------------------------------------
+#
+# The encoder's frequency-MSA LeWin block ran THREE dispatches per block
+# (fused_freq_intra -> fused_freq_inter -> fused_block_ffn) with two HBM
+# round-trips of the [L*B, H, W, C] activations between them. This merges
+# the whole block the same way fused_block_merged merges the origin-MSA
+# block: the MSA output (intra per-band attention, then the grouped
+# cross-band inter attention, residual added) crosses grid steps in VMEM
+# scratch, the FFN consumes its row halo from that scratch, and the SW-MSA
+# roll is absorbed into the tile assembly. Numerically identical to the
+# three-dispatch chain (which stores intermediates in HBM in model dtype).
+#
+# Reference behavior being fused: one frequency-MSA LeWin block,
+# encoder_Uformer.py:515-682 with the intra->inter chain of :558-572.
+
+
+def use_merged_freq() -> bool:
+    """Gate for the single-dispatch frequency-MSA block kernel.
+    FAIRM_MERGED_FREQ=0 restores the three-dispatch chain for A/B."""
+    return (os.environ.get("FAIRM_MERGED_FREQ", "1")
+            not in ("0", "false", "False"))
+
+
+def _merged_freq_tokens(L: int, T: int, W: int, C: int, Hd: int) -> int:
+    """fp32 token-copy estimate for one grid step of the merged freq
+    kernel: both attention halves' packed copies + the FFN hidden chain,
+    all carrying the L band dim, plus the inter half's grouped-window
+    qkv buffer."""
+    attn = 6 * T * W * C * 4 * L
+    ffn = 3 * (T + 2) * (W + 2) * Hd * 4 * L
+    nw = (T // 8) * (W // 8) if W >= 8 else 1
+    inter = nw * (L * 64) * 4 * C * 4            # z + qkvB (fp32-ish)
+    return attn + ffn + inter
+
+
+def merged_freq_fits(C: int, Hd: int, L: int, itemsize: int, W: int,
+                     win: int = 8) -> bool:
+    """Whether the merged freq kernel should take this stage: both MSA
+    halves' and the FFN's full-width weights plus a win-row tile of the
+    L-banded token copies must fit scoped VMEM next to the [L, T, W, C]
+    scratch carries. FAIRM_MERGED_FREQ_MIN_RES gates the low-res stages
+    (default 0 = everywhere it fits; set from on-chip A/B)."""
+    min_res = int(os.environ.get("FAIRM_MERGED_FREQ_MIN_RES", "0"))
+    if W < min_res:
+        return False
+    # two attention weight sets (intra + inter qkv/proj) + FFN weights
+    weights = 8 * C * C * itemsize + 2 * C * Hd * itemsize + 9 * Hd * 4
+    tokens = _merged_freq_tokens(L, win, W, C, Hd)
+    scratch = 4 * L * win * W * C * itemsize
+    return weights + tokens + scratch <= (12 << 20)
+
+
+def _merged_freq_choose_t(H: int, W: int, C: int, Hd: int, L: int,
+                          win: int, itemsize: int) -> int:
+    budget = _tile_budget(9, "FAIRM_MERGED_T_MB", itemsize)
+    t = win
+    while (t * 2 <= H and H % (t * 2) == 0
+           and _merged_freq_tokens(L, t * 2, W, C, Hd) <= budget):
+        t *= 2
+    return t
+
+
+def _merged_freq_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref,
+                        wqkvA_ref, bqkvA_ref, wpA_ref, bpA_ref, biasA_ref,
+                        wqkvB_ref, bqkvB_ref, wpB_ref, bpB_ref, biasB_ref,
+                        maskA_ref, maskI_ref, ln2s_ref, ln2b_ref,
+                        w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
+                        dps_ref, out_ref, acur_ref, aprev_ref, l1_ref,
+                        f_ref, *, L: int, T: int, W: int, C: int, Hd: int,
+                        h: int, win: int, P: int, s: int, nI: int,
+                        eps: float, has_mask: bool, has_dps: bool, dtype,
+                        ldt=jnp.float32):
+    # dps_ref: [1, L, 2] per-image-per-band DropPath branch scales —
+    # [0, l, 0] scales the whole intra+inter MSA branch of band l,
+    # [0, l, 1] the FFN branch (see fused_block_freq_merged)
+    i = pl.program_id(1)
+    n = win * win
+    Ln = L * n
+    nw_tile = (T // win) * (W // win)
+    G = nw_tile // P
+    d = C // h
+
+    # ---- MSA half: rolled tile i (skipped at the extra grid step) ----
+    @pl.when(i < nI)
+    def _msa_half():
+        if s > 0:
+            xt = jnp.concatenate([xc_ref[:, 0, s:T], xn_ref[:, 0, :s]],
+                                 axis=1)             # [L, T, W, C]
+            xt = jnp.concatenate([xt[:, :, s:], xt[:, :, :s]], axis=2)
+        else:
+            xt = xc_ref[:, 0]
+        xf = xt.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xn_ = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn_ = xn_ * ln1s_ref[0] + ln1b_ref[0]
+
+        # -- intra: per-band windowed attention, NO residual ----------
+        # window-major tokens per band: [L, M, C]
+        xw = jnp.stack([_win_pack(xn_[l].astype(dtype), T, W, win, C)
+                        for l in range(L)], axis=0)
+        qkv = jax.lax.dot_general(
+            xw.reshape(L * nw_tile * n, C), wqkvA_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkvA_ref[0]
+        qkv = qkv.astype(dtype).reshape(L, nw_tile * n, 3 * C)
+
+        band_outs = []
+        for l in range(L):
+            group_outs = []
+            for g in range(G):
+                sl = slice(g * P * n, (g + 1) * P * n)
+                head_outs = []
+                for hh in range(h):
+                    q = qkv[l, sl, hh * d:(hh + 1) * d]
+                    k = qkv[l, sl, C + hh * d:C + (hh + 1) * d]
+                    v = qkv[l, sl, 2 * C + hh * d:2 * C + (hh + 1) * d]
+                    logits = jax.lax.dot_general(
+                        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(ldt)
+                    logits = logits + biasA_ref[l, hh]
+                    if has_mask:
+                        logits = logits + maskA_ref[0, g]
+                    e = jnp.exp(_softmax_shift(logits))
+                    head_outs.append((jax.lax.dot_general(
+                        e.astype(dtype), v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                        / jnp.sum(e, axis=-1, keepdims=True,
+                                  dtype=jnp.float32)).astype(dtype))
+                group_outs.append(jnp.concatenate(head_outs, axis=1))
+            band_outs.append(jnp.concatenate(group_outs, axis=0))
+        y1 = jnp.stack(band_outs, axis=0)            # [L, M, C] attn out
+        y1 = jax.lax.dot_general(
+            y1.reshape(L * nw_tile * n, C), wpA_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bpA_ref[0]
+
+        # -- inter: window-grouped cross-band attention + residual ----
+        # [L, nw, n, C] -> [nw, L*n, C]
+        z = (y1.astype(dtype).reshape(L, nw_tile, n, C)
+               .transpose(1, 0, 2, 3).reshape(nw_tile * Ln, C))
+        qkvB = jax.lax.dot_general(
+            z, wqkvB_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkvB_ref[0]
+        qkvB = qkvB.astype(dtype)
+
+        win_outs = []
+        for j in range(nw_tile):
+            sl = slice(j * Ln, (j + 1) * Ln)
+            mtile = (jnp.tile(maskI_ref[0, j], (L, L)) if has_mask
+                     else None)
+            head_outs = []
+            for hh in range(h):
+                q = qkvB[sl, hh * d:(hh + 1) * d]
+                k = qkvB[sl, C + hh * d:C + (hh + 1) * d]
+                v = qkvB[sl, 2 * C + hh * d:2 * C + (hh + 1) * d]
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(ldt)
+                logits = logits + biasB_ref[hh]
+                if has_mask:
+                    logits = logits + mtile
+                e = jnp.exp(_softmax_shift(logits))
+                head_outs.append((jax.lax.dot_general(
+                    e.astype(dtype), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                    / jnp.sum(e, axis=-1, keepdims=True,
+                              dtype=jnp.float32)).astype(dtype))
+            win_outs.append(jnp.concatenate(head_outs, axis=1))
+        outB = jnp.concatenate(win_outs, axis=0)     # [nw*Ln, C]
+        acc = jax.lax.dot_general(
+            outB, wpB_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bpB_ref[0]
+
+        # band-major + per-band DropPath scale + residual (rolled layout)
+        accb = (acc.reshape(nw_tile, L, n, C).transpose(1, 0, 2, 3)
+                   .reshape(L, nw_tile * n, C))
+        outs = []
+        for l in range(L):
+            br = _win_unpack(accb[l], T, W, win, C)
+            if has_dps:
+                br = br * dps_ref[0, l, 0]
+            outs.append(br + xf[l])
+        acur_ref[...] = jnp.stack(outs, axis=0).astype(dtype)
+
+    if s > 0:
+        @pl.when(i == 0)
+        def _stash_first():
+            f_ref[...] = acur_ref[...]
+
+    # ---- FFN emit: true tile j (identical to _merged_kernel, with the
+    # band dim along axis 0) -------------------------------------------
+    a_cur = acur_ref[...]
+    if s == 0:
+        rows = jnp.concatenate(
+            [l1_ref[...], aprev_ref[...], a_cur[:, 0:1]], axis=1)
+        j = i - 1
+    else:
+        head = aprev_ref[:, T - s - 1:T]             # [L, s+1, W, C]
+        interior = jnp.concatenate([head, a_cur[:, :T - s + 1]], axis=1)
+        wrap = jnp.concatenate([head, f_ref[:, :T - s + 1]], axis=1)
+        rows = jnp.where((i == nI), wrap, interior)  # [L, T+2, W, C]
+        rows = jnp.concatenate(
+            [rows[:, :, W - s:], rows[:, :, :W - s]], axis=2)
+        j = jnp.where(i < nI, i, 0)
+
+    xf2 = rows.astype(jnp.float32)                   # [L, T+2, W, C]
+    mu2 = jnp.mean(xf2, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(xf2 - mu2), axis=-1, keepdims=True)
+    xn2 = (xf2 - mu2) * jax.lax.rsqrt(var2 + eps)
+    xn2 = (xn2 * ln2s_ref[0] + ln2b_ref[0]).astype(dtype)
+
+    hdn = jax.lax.dot_general(
+        xn2.reshape(L * (T + 2) * W, C), w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hdn = _gelu(hdn + b1_ref[...]).reshape(L, T + 2, W, Hd)
+
+    rws = jax.lax.broadcasted_iota(jnp.int32, (1, T + 2, 1, 1), 1)
+    top = jnp.logical_and(j == 0, rws == 0)
+    bot = jnp.logical_and(j == nI - 1, rws == T + 1)
+    hdn = jnp.where(jnp.logical_or(top, bot), 0.0, hdn)
+
+    zcol = jnp.zeros((L, T + 2, 1, Hd), jnp.float32)
+    hp = jnp.concatenate([zcol, hdn, zcol], axis=2)  # [L, T+2, W+2, Hd]
+    facc = jnp.zeros((L, T, W, Hd), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = wd_ref[dy, dx][None, None, None, :]
+            facc = facc + hp[:, dy:dy + T, dx:dx + W] * tap
+    facc = _gelu(facc + bd_ref[...])
+
+    y = jax.lax.dot_general(
+        facc.reshape(L * T * W, Hd).astype(dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = (y + b2_ref[...]).reshape(L, T, W, C)
+    if has_dps:
+        y = y * dps_ref[0, :, 1].reshape(L, 1, 1, 1)
+    y = y + rows[:, 1:T + 1].astype(jnp.float32)
+
+    @pl.when(i >= 1)
+    def _emit():
+        out_ref[...] = y.reshape(L, 1, T, W, C).astype(out_ref.dtype)
+
+    @pl.when(i < nI)
+    def _cycle():
+        if s == 0:
+            l1_ref[...] = aprev_ref[:, T - 1:T]
+        aprev_ref[...] = acur_ref[...]
+
+
+def _merged_freq_forward(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
+                         bv3A, wp3A, bpA, biasA, wq3B, bq3B, wk3B, bk3B,
+                         wv3B, bv3B, wp3B, bpB, biasB, mask, ln2s, ln2b,
+                         w1, b1, wd, bd, w2, b2, L: int, win: int,
+                         shift: int, eps: float, interpret, dps1=None,
+                         dps2=None):
+    interpret = _resolve_interpret(interpret)
+    LB, H, W, C = x_img.shape
+    B = LB // L
+    h = wq3A.shape[0]
+    n = win * win
+    Ln = L * n
+    Hd = w1.shape[1]
+    dt = x_img.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    T = _merged_freq_choose_t(H, W, C, Hd, L, win, itemsize)
+    nI = H // T
+    nw_tile = (T // win) * (W // win)
+    s = shift
+
+    pmax = max(1, (128 * int(os.environ.get("FAIRM_ATTN_P", "2"))) // n)
+    while pmax > 1 and h * (pmax * n) ** 2 * 4 > (2 << 20):
+        pmax //= 2
+    P = max(1, min(pmax, nw_tile))
+    while nw_tile % P != 0:
+        P -= 1
+    G = nw_tile // P
+
+    d = C // h
+    scale = d ** -0.5
+    ldt = dt if (dt == jnp.bfloat16 and _bf16_logits()) else jnp.float32
+
+    def _wqkv(wq3, bq3, wk3, bk3, wv3, bv3):
+        w = jnp.concatenate(
+            [w_.transpose(1, 0, 2).reshape(C, C) for w_ in
+             (wq3 * scale, wk3, wv3)], axis=1).astype(dt)
+        b = jnp.concatenate(
+            [b_.reshape(C) for b_ in (bq3 * scale, bk3, bv3)]
+        ).reshape(1, 3 * C).astype(jnp.float32)
+        return w, b
+
+    wqkvA, bqkvA = _wqkv(wq3A, bq3A, wk3A, bk3A, wv3A, bv3A)
+    wqkvB, bqkvB = _wqkv(wq3B, bq3B, wk3B, bk3B, wv3B, bv3B)
+    wpA = wp3A.reshape(C, C).astype(dt)
+    wpB = wp3B.reshape(C, C).astype(dt)
+
+    # intra per-band packed bias [L, h, P*n, P*n]
+    biasA_p = (jnp.tile(biasA.astype(jnp.float32), (1, 1, P, P))
+               + jnp.asarray(_pack_bias_np(P, n))[None, None]).astype(ldt)
+
+    has_mask = mask is not None
+    if has_mask:
+        nW = mask.shape[0]
+        assert nW == (H // win) * (W // win)
+        m = mask.astype(jnp.float32).reshape(nI, G, P, n, n)
+        mp = jnp.zeros((nI, G, P * n, P * n), jnp.float32)
+        for p_ in range(P):
+            mp = mp.at[:, :, p_ * n:(p_ + 1) * n,
+                       p_ * n:(p_ + 1) * n].set(m[:, :, p_])
+        maskA_arr = mp.astype(ldt)
+        maskA_spec = pl.BlockSpec(
+            (1, G, P * n, P * n),
+            lambda b, i: (jnp.minimum(i, nI - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        maskI_arr = mask.astype(ldt).reshape(nI, nw_tile, n, n)
+        maskI_spec = pl.BlockSpec(
+            (1, nw_tile, n, n),
+            lambda b, i: (jnp.minimum(i, nI - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        maskA_arr = jnp.zeros((1, 1, P * n, P * n), ldt)
+        maskA_spec = pl.BlockSpec((1, 1, P * n, P * n),
+                                  lambda b, i: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        maskI_arr = jnp.zeros((1, 1, n, n), ldt)
+        maskI_spec = pl.BlockSpec((1, 1, n, n), lambda b, i: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    has_dps = dps1 is not None
+    assert (dps2 is not None) == has_dps, "dps1/dps2 come as a pair"
+    if has_dps:
+        # [B, L, 2]: per-image-per-band (msa, ffn) branch scales; dps
+        # arrive band-major [L*B]
+        dps_arr = jnp.stack(
+            [dps1.astype(jnp.float32).reshape(L, B).T,
+             dps2.astype(jnp.float32).reshape(L, B).T], axis=-1)
+        dps_spec = pl.BlockSpec((1, L, 2), lambda b, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        dps_arr = jnp.ones((1, L, 2), jnp.float32)
+        dps_spec = pl.BlockSpec((1, L, 2), lambda b, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _merged_freq_kernel, L=L, T=T, W=W, C=C, Hd=Hd, h=h, win=win,
+        P=P, s=s, nI=nI, eps=eps, has_mask=has_mask, has_dps=has_dps,
+        dtype=dt, ldt=ldt)
+    vspec = lambda *shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    x5 = x_img.reshape(L, B, H, W, C)
+    xspec_cur = pl.BlockSpec(
+        (L, 1, T, W, C),
+        lambda b, i: (0, b, jnp.minimum(i, nI - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    xspec_next = pl.BlockSpec(
+        (L, 1, T, W, C),
+        lambda b, i: (0, b, jax.lax.rem(jnp.minimum(i, nI - 1) + 1, nI),
+                      0, 0),
+        memory_space=pltpu.VMEM)
+    if s == 0:
+        out_map = lambda b, i: (0, b, jnp.maximum(i - 1, 0), 0, 0)
+    else:
+        out_map = lambda b, i: (0, b, jnp.where(i < nI, i, 0), 0, 0)
+
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nI + 1),
+        in_specs=[
+            xspec_cur, xspec_next,
+            vspec(1, C), vspec(1, C),                          # ln1
+            vspec(C, 3 * C), vspec(1, 3 * C),                  # qkv A
+            vspec(C, C), vspec(1, C),                          # proj A
+            vspec(L, h, P * n, P * n),                         # biasA
+            vspec(C, 3 * C), vspec(1, 3 * C),                  # qkv B
+            vspec(C, C), vspec(1, C),                          # proj B
+            vspec(h, Ln, Ln),                                  # biasB
+            maskA_spec, maskI_spec,
+            vspec(1, C), vspec(1, C),                          # ln2
+            vspec(C, Hd), vspec(Hd), vspec(3, 3, Hd), vspec(Hd),
+            vspec(Hd, C), vspec(C),
+            dps_spec,
+        ],
+        out_specs=pl.BlockSpec((L, 1, T, W, C), out_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, B, H, W, C), dt),
+        scratch_shapes=[
+            pltpu.VMEM((L, T, W, C), dt),                      # a_cur
+            pltpu.VMEM((L, T, W, C), dt),                      # a_prev
+            pltpu.VMEM((L, 1, W, C), dt),                      # l1
+            pltpu.VMEM((L, T, W, C), dt),                      # f
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(x5, x5, ln1s.reshape(1, C), ln1b.reshape(1, C),
+      wqkvA, bqkvA, wpA, bpA.reshape(1, C), biasA_p,
+      wqkvB, bqkvB, wpB, bpB.reshape(1, C), biasB.astype(ldt),
+      maskA_arr, maskI_arr,
+      ln2s.reshape(1, C), ln2b.reshape(1, C),
+      w1.astype(dt), b1.astype(jnp.float32), wd.astype(jnp.float32),
+      bd.astype(jnp.float32), w2.astype(dt), b2.astype(jnp.float32),
+      dps_arr)
+    return out.reshape(LB, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(30, 31, 32, 33, 34))
+def fused_block_freq_merged(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A,
+                            wv3A, bv3A, wp3A, bpA, biasA, wq3B, bq3B,
+                            wk3B, bk3B, wv3B, bv3B, wp3B, bpB, biasB,
+                            mask, ln2s, ln2b, w1, b1, wd, bd, w2, b2,
+                            L: int = 1, win: int = 8, shift: int = 0,
+                            eps: float = 1e-6, interpret=None, dps1=None,
+                            dps2=None):
+    """One whole frequency-MSA LeWin block —
+    ``u = x + dps1 * inter(intra(LN1(x))); out = u + dps2 * LeFF(LN2(u))``
+    — in a single pallas_call on the TRUE-layout band-folded image
+    ``[L*B, H, W, C]`` (the SW-MSA roll for ``shift > 0`` is absorbed
+    into the tile assembly). Numerically identical to the three-dispatch
+    chain ``fused_block_ffn(roll_back(fused_freq_inter(fused_freq_intra(
+    roll(x)), roll(x))))``.
+
+    ``biasA``: ``[L, h, n, n]`` per-band diagonal tables; ``biasB``:
+    ``[h, L*n, L*n]`` grouped tables with the inter band mask folded in
+    (models/uformer_blocks._FusedFreqAttnParams). ``dps1``/``dps2``:
+    optional ``[L*B]`` per-folded-sample DropPath branch scales. The VJP
+    chains the three underlying custom VJPs, so the backward runs the
+    dedicated Pallas backward kernels exactly like the chain path."""
+    impl = lambda *a: _merged_freq_forward(*a[:30], L, win, shift, eps,
+                                           interpret, dps1=a[30],
+                                           dps2=a[31])
+    return impl(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A,
+                wp3A, bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B,
+                wp3B, bpB, biasB, mask, ln2s, ln2b, w1, b1, wd, bd, w2,
+                b2, dps1, dps2)
+
+
+def _freq_merged_fwd(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
+                     bv3A, wp3A, bpA, biasA, wq3B, bq3B, wk3B, bk3B,
+                     wv3B, bv3B, wp3B, bpB, biasB, mask, ln2s, ln2b, w1,
+                     b1, wd, bd, w2, b2, L, win, shift, eps, interpret,
+                     dps1, dps2):
+    out = fused_block_freq_merged(
+        x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A, wp3A, bpA,
+        biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B, wp3B, bpB, biasB,
+        mask, ln2s, ln2b, w1, b1, wd, bd, w2, b2, L, win, shift, eps,
+        interpret, dps1, dps2)
+    return out, (x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A,
+                 wp3A, bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B,
+                 wp3B, bpB, biasB, mask, ln2s, ln2b, w1, b1, wd, bd, w2,
+                 b2, dps1, dps2)
+
+
+def _freq_merged_bwd(L, win, shift, eps, interpret, res, g):
+    (x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A, wp3A, bpA,
+     biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B, wp3B, bpB, biasB, mask,
+     ln2s, ln2b, w1, b1, wd, bd, w2, b2, dps1, dps2) = res
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    ddps1 = None if dps1 is None else jnp.zeros_like(dps1)
+    ddps2 = None if dps2 is None else jnp.zeros_like(dps2)
+
+    # Chain the three underlying fused ops: their custom VJPs route to
+    # the dedicated Pallas backward kernels and already handle the
+    # in-kernel DropPath scales. mask/dps enter by closure.
+    def chain(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A,
+              wp3A, bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B,
+              wp3B, bpB, biasB, ln2s, ln2b, w1, b1, wd, bd, w2, b2):
+        img = x_img
+        if shift > 0:
+            img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+        y1 = fused_freq_intra(img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A,
+                              wv3A, bv3A, wp3A, bpA, biasA, mask, L,
+                              win, eps, interpret)
+        y = fused_freq_inter(y1, img, wq3B, bq3B, wk3B, bk3B, wv3B,
+                             bv3B, wp3B, bpB, biasB, mask, L, win, eps,
+                             interpret, dps1)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        return fused_block_ffn(y, ln2s, ln2b, w1, b1, wd, bd, w2, b2,
+                               eps, interpret, dps2)
+
+    diff = (x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A, wp3A,
+            bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B, wp3B, bpB,
+            biasB, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
+    _, vjp = jax.vjp(chain, *diff)
+    gr = vjp(g)
+    return gr[:21] + (dmask,) + gr[21:] + (ddps1, ddps2)
+
+
+fused_block_freq_merged.defvjp(_freq_merged_fwd, _freq_merged_bwd)

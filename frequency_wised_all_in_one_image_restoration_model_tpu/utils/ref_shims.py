@@ -82,6 +82,68 @@ def structural_similarity(im1, im2, win_size=7, data_range=None,
 
 
 # ---------------------------------------------------------------------------
+# torch DCNv2 stand-in (parity tooling)
+# ---------------------------------------------------------------------------
+
+
+def torch_modulated_deform_conv2d(x, offset, mask, weight, bias=None,
+                                  stride=1, padding=1, dilation=1):
+    """Pure-torch DCNv2 forward (``mmcv.ops.modulated_deform_conv2d``
+    semantics) for the reference side of parity runs: the reference ships
+    its DCN forward as ``assert False`` with the mmcv import commented out
+    (reference net/utils/deform_conv.py:7, 64-67), so its DGRN cannot train
+    at all upstream. This is an independent differentiable implementation
+    (bilinear gather, zero out-of-bounds), NOT a port of mmcv's CUDA kernel,
+    with the same layout our JAX composite consumes (ops/deform_conv.py):
+    offsets ``[B, 2K, Ho, Wo]`` as all K Δy's then all K Δx's (the layout
+    the reference offset head produces via ``cat((o1, o2), dim=1)``),
+    ``mask`` already sigmoided, weight ``[Cout, Cin, kh, kw]`` (torch OIHW).
+    """
+    import torch
+
+    B, Cin, H, W = x.shape
+    Cout, _, kh, kw = weight.shape
+    K = kh * kw
+    Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+
+    dt = x.dtype
+    by = torch.arange(Ho, dtype=dt) * stride - padding
+    bx = torch.arange(Wo, dtype=dt) * stride - padding
+    ty = (torch.arange(kh, dtype=dt) * dilation).repeat_interleave(kw)
+    tx = (torch.arange(kw, dtype=dt) * dilation).repeat(kh)
+
+    oy = offset[:, :K].permute(0, 2, 3, 1)            # [B, Ho, Wo, K]
+    ox = offset[:, K:].permute(0, 2, 3, 1)
+    yy = by.view(1, Ho, 1, 1) + ty.view(1, 1, 1, K) + oy
+    xx = bx.view(1, 1, Wo, 1) + tx.view(1, 1, 1, K) + ox
+
+    y0 = torch.floor(yy)
+    x0 = torch.floor(xx)
+    fy = (yy - y0).reshape(B, 1, -1)
+    fx = (xx - x0).reshape(B, 1, -1)
+    flat = x.reshape(B, Cin, H * W)
+
+    def corner(yi, xi):
+        valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+        yc = yi.clamp(0, H - 1).long()
+        xc = xi.clamp(0, W - 1).long()
+        idx = (yc * W + xc).reshape(B, 1, -1).expand(B, Cin, -1)
+        return flat.gather(2, idx) * valid.reshape(B, 1, -1).to(dt)
+
+    samp = (corner(y0, x0) * (1 - fy) * (1 - fx)
+            + corner(y0, x0 + 1) * (1 - fy) * fx
+            + corner(y0 + 1, x0) * fy * (1 - fx)
+            + corner(y0 + 1, x0 + 1) * fy * fx)       # [B, Cin, P*K]
+    samp = samp.reshape(B, Cin, Ho * Wo, K)
+    samp = samp * mask.permute(0, 2, 3, 1).reshape(B, 1, Ho * Wo, K)
+    out = torch.einsum("bcpk,ock->bop", samp, weight.reshape(Cout, Cin, K))
+    if bias is not None:
+        out = out + bias.view(1, Cout, 1)
+    return out.reshape(B, Cout, Ho, Wo)
+
+
+# ---------------------------------------------------------------------------
 # installers
 # ---------------------------------------------------------------------------
 

@@ -887,3 +887,125 @@ def test_lewin_block_fused_droppath_grads_match(rng, monkeypatch, mode):
                     jax.tree_util.tree_leaves(g_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Merged frequency-MSA block (intra + inter + FFN in one dispatch)
+# ---------------------------------------------------------------------------
+
+
+def _freq_merged_case(rng, L=3, B=2, H=16, W=16, C=8, h=2, win=8):
+    n = win * win
+    x, lns, lnb, qkvA, wp3A, bpA = _freq_args(rng, L=L, B=B, H=H, W=W,
+                                              C=C, h=h, win=win)
+    _, _, _, qkvB, wp3B, bpB = _freq_args(rng, L=L, B=B, H=H, W=W,
+                                          C=C, h=h, win=win)
+    biasA = jnp.asarray(rng.standard_normal((L, h, n, n))
+                        .astype(np.float32)) * 0.05
+    biasB = jnp.asarray(rng.standard_normal((h, L * n, L * n))
+                        .astype(np.float32)) * 0.05
+    ln2 = (1.0 + 0.1 * jnp.asarray(
+               rng.standard_normal(C).astype(np.float32)),
+           0.1 * jnp.asarray(rng.standard_normal(C).astype(np.float32)))
+    ffn = _merged_ffn_args(rng, C, 4 * C)[2:]
+    return x, lns, lnb, qkvA, wp3A, bpA, biasA, qkvB, wp3B, bpB, biasB, \
+        ln2, ffn
+
+
+def _freq_chain(x, lns, lnb, qkvA, wp3A, bpA, biasA, qkvB, wp3B, bpB,
+                biasB, ln2, ffn, mask, L, win, shift, dps1=None,
+                dps2=None):
+    img = x
+    if shift:
+        img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+    y1 = lb.fused_freq_intra(img, lns, lnb, *qkvA, wp3A, bpA, biasA,
+                             mask, L, win, 1e-6, True)
+    y = lb.fused_freq_inter(y1, img, *qkvB, wp3B, bpB, biasB, mask, L,
+                            win, 1e-6, True, dps1)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    return lb.fused_block_ffn(y, *ln2, *ffn, 1e-6, True, dps2)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+@pytest.mark.parametrize("use_dps", [False, True])
+def test_freq_merged_matches_chain(rng, shift, use_dps):
+    """fused_block_freq_merged == fused_block_ffn(roll_back(
+    fused_freq_inter(fused_freq_intra(roll(x)), roll(x)))) — including
+    the SW-MSA shift (absorbed into the tile assembly) and the in-kernel
+    per-band DropPath scales."""
+    L, B, H, W, C, h, win = 3, 2, 16, 16, 8, 2, 8
+    case = _freq_merged_case(rng, L=L, B=B, H=H, W=W, C=C, h=h, win=win)
+    (x, lns, lnb, qkvA, wp3A, bpA, biasA, qkvB, wp3B, bpB, biasB,
+     ln2, ffn) = case
+    mask = (jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+            if shift else None)
+    dps1 = dps2 = None
+    if use_dps:
+        keep = 0.7
+        dps1 = jnp.asarray((rng.uniform(0, 1, L * B) > 1 - keep)
+                           .astype(np.float32) / keep)
+        dps2 = jnp.asarray((rng.uniform(0, 1, L * B) > 1 - keep)
+                           .astype(np.float32) / keep)
+
+    want = _freq_chain(*case, mask, L, win, shift, dps1, dps2)
+    got = lb.fused_block_freq_merged(
+        x, lns, lnb, *qkvA, wp3A, bpA, biasA, *qkvB, wp3B, bpB, biasB,
+        mask, *ln2, *ffn, L, win, shift, 1e-6, True, dps1, dps2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_freq_merged_multi_tile_pipeline(rng, monkeypatch, shift):
+    """Force nI > 1 row tiles: the cross-step scratch carry must
+    reproduce the three-dispatch chain exactly, including the
+    wrap-around tile emitted at the extra grid step."""
+    monkeypatch.setenv("FAIRM_MERGED_T_MB", "1")
+    L, B, H, W, C, h, win = 2, 1, 32, 32, 8, 1, 8
+    case = _freq_merged_case(rng, L=L, B=B, H=H, W=W, C=C, h=h, win=win)
+    (x, lns, lnb, qkvA, wp3A, bpA, biasA, qkvB, wp3B, bpB, biasB,
+     ln2, ffn) = case
+    mask = (jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+            if shift else None)
+    assert lb._merged_freq_choose_t(H, W, C, 4 * C, L, win, 4) < H
+
+    got = lb.fused_block_freq_merged(
+        x, lns, lnb, *qkvA, wp3A, bpA, biasA, *qkvB, wp3B, bpB, biasB,
+        mask, *ln2, *ffn, L, win, shift, 1e-6, True, None, None)
+    monkeypatch.delenv("FAIRM_MERGED_T_MB")
+    want = _freq_chain(*case, mask, L, win, shift)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_freq_merged_grads(rng):
+    """The merged freq kernel's VJP (chained through the three fused
+    ops' custom VJPs) matches grads of the chain composite."""
+    L, B, H, W, C, h, win, shift = 2, 1, 16, 16, 8, 1, 8, 4
+    case = _freq_merged_case(rng, L=L, B=B, H=H, W=W, C=C, h=h, win=win)
+    (x, lns, lnb, qkvA, wp3A, bpA, biasA, qkvB, wp3B, bpB, biasB,
+     ln2, ffn) = case
+    mask = jnp.asarray(win_ops.shift_attn_mask(H, W, win, shift))
+
+    def loss_merged(x, wq3A, w1):
+        qA = (wq3A,) + qkvA[1:]
+        f = (w1,) + ffn[1:]
+        out = lb.fused_block_freq_merged(
+            x, lns, lnb, *qA, wp3A, bpA, biasA, *qkvB, wp3B, bpB,
+            biasB, mask, *ln2, *f, L, win, shift, 1e-6, True, None,
+            None)
+        return jnp.sum(out ** 2)
+
+    def loss_chain(x, wq3A, w1):
+        qA = (wq3A,) + qkvA[1:]
+        f = (w1,) + ffn[1:]
+        c = (x, lns, lnb, qA, wp3A, bpA, biasA, qkvB, wp3B, bpB, biasB,
+             ln2, f)
+        return jnp.sum(_freq_chain(*c, mask, L, win, shift) ** 2)
+
+    g1 = jax.grad(loss_merged, argnums=(0, 1, 2))(x, qkvA[0], ffn[0])
+    g2 = jax.grad(loss_chain, argnums=(0, 1, 2))(x, qkvA[0], ffn[0])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -44,19 +44,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
-TASK = "deraining"
 
-# flagship architecture at patch 32. The embed dims stay at the flagship
+# Everything runs at patch 32. The Uformer embed dims stay at the flagship
 # defaults (28/56): the reference HARD-CODES encoder_embed_dim = 28 inside
 # the decoder's all_DC embed_lamb head (decoder_Uformer.py:176) and
 # crashes at any other value, so toy-scaling the dims is not possible on
 # its side; patch 32 instead of 128 is what keeps the run small.
-COMMON_FLAGS = [
-    "--de_type", TASK, "--test_de_type", TASK,
-    "--encoder_type", "Uformer", "--decoder_type", "Uformer",
-    "--L", "3",
-    "--encoder_msa_type", "freq",
-    "--degradation_embedding_method", "all_DC",
+BASE_FLAGS = [
     "--patch_size", "32", "--crop_test_imgs_size", "32",
     # the reference's module-level contrast_loss_weight = 0.6 for L=3 is
     # never written into opt (the dead assignment, PARITY.md #2) and
@@ -65,6 +59,32 @@ COMMON_FLAGS = [
     "--contrast_loss_weight", "0.6",
     "--num_workers", "0",
 ]
+
+# BASELINE.json / PARITY_RUNBOOK.md §4 single-host configs. Each entry
+# also says which reference-side shims the wrapper needs: `dgrn` configs
+# get a working torch DCNv2 (the reference's own forward is `assert
+# False`, deform_conv.py:64); `vit` configs bind the ViT's image_size to
+# the patch size and size its attention-map FrequencyDecompose by token
+# count (the reference hard-codes h=w=dim_head, which only equals the
+# attention-map side in its 128-pixel default geometry, encoder_ViT.py:56).
+CONFIGS = {
+    "flagship": dict(   # configs 2/4 architecture: Uformer+Uformer, freq
+        train_tasks=("deraining",), test_tasks=("deraining",),
+        flags=("--encoder_type", "Uformer", "--decoder_type", "Uformer",
+               "--L", "3", "--encoder_msa_type", "freq",
+               "--degradation_embedding_method", "all_DC"),
+        dgrn=False, vit=False),
+    "resnet_dgrn": dict(  # config 1: AirNet base, single-task denoising
+        train_tasks=("denoising_0",), test_tasks=("denoising_bsd68_25",),
+        flags=("--encoder_type", "ResNet", "--decoder_type", "ResNet"),
+        dgrn=True, vit=False, single_band=True),
+    "vit_freq": dict(  # config 3: ViT + freq-decomposed MSA, 2-task
+        train_tasks=("denoising_0", "deraining"),
+        test_tasks=("denoising_bsd68_25", "deraining"),
+        flags=("--encoder_type", "ViT", "--decoder_type", "ResNet",
+               "--frequency_decompose_type", "DC"),
+        dgrn=True, vit=True, single_band=True),
+}
 
 _REF_WRAPPER = r'''
 import os, sys, runpy, importlib.util
@@ -105,6 +125,7 @@ _nm.UformerEncoder = _ft.partial(_nm.UformerEncoder,
                                  img_size=_opt.patch_size)
 _nm.UformerDecoder = _ft.partial(_nm.UformerDecoder,
                                  img_size=_opt.patch_size)
+{shims}
 
 # preload the stitch-fixed reference test module under the name train.py
 # imports ("test"), replacing the test.py:67 input-stitch bug with the
@@ -128,9 +149,50 @@ os.chdir({tmp!r})   # TrainDataset/TestDataset read the relative data/ tree
 runpy.run_path(os.path.join({ref!r}, "train.py"), run_name="__main__")
 '''
 
+_DGRN_SHIM = '''
+# working DCNv2 for the reference's dead DCN forward (deform_conv.py:64:
+# `assert False`; the mmcv import is commented out) — the op the
+# commented-out return would call, implemented independently in
+# utils/ref_shims.py. Without this the reference cannot train DGRN at all.
+from frequency_wised_all_in_one_image_restoration_model_tpu.utils.ref_shims import (
+    torch_modulated_deform_conv2d as _mdcn)
+from net.utils.deform_conv import DCN_layer as _DCN
+def _dcn_fwd(self, input_feat, inter):
+    out = self.conv_offset_mask(torch.cat([input_feat, inter], dim=1))
+    o1, o2, mask = torch.chunk(out, 3, dim=1)
+    offset = torch.cat((o1, o2), dim=1)
+    mask = torch.sigmoid(mask)
+    return _mdcn(input_feat, offset, mask, self.weight, self.bias,
+                 self.stride, self.padding, self.dilation)
+_DCN.forward = _dcn_fwd
+'''
+
+_SINGLE_BAND_SHIM = '''
+# single-band encoders: the reference loops opt.L losses regardless of the
+# encoder and indexes out of range for ResNet/ViT, which return one [out]
+# (moco.py:20,127; encoder_ResNet.py:47 — PARITY.md #6). Align num_losses
+# with what the encoder emits, exactly as our framework's
+# effective_num_losses does. Set AFTER option import (option.py:58-63
+# asserts L in (2,3) at import, so --L 1 is impossible upstream).
+_opt.L = 1
+'''
+
+_VIT_SHIM = '''
+# toy-geometry ViT: bind image_size to the patch size, and size the
+# attention-map FrequencyDecompose by the actual token count N (the
+# reference hard-codes h=w=dim_head, which only equals the attention-map
+# side in its 128-pixel default geometry, encoder_ViT.py:56; our
+# implementation uses N, models/encoder_vit.py docstring)
+import net.encoder_ViT as _ev
+_nm.ViTEncoder = _ft.partial(_nm.ViTEncoder, image_size=_opt.patch_size)
+_n_tok = (_opt.patch_size // 16) ** 2
+_FD = _ev.FrequencyDecompose
+_ev.FrequencyDecompose = lambda typ, r, h, w: _FD(typ, r, _n_tok, _n_tok)
+'''
+
 
 def parse_results_log(path):
-    """-> {epoch: psnr} from the reference-format results.log."""
+    """-> {task: {epoch: psnr}} from the reference-format results.log."""
     out = {}
     epoch = None
     for line in open(path):
@@ -138,14 +200,15 @@ def parse_results_log(path):
         if m:
             epoch = int(m.group(1))
             continue
-        m = re.search(r"PSNR/SSIM:\s*([\d.]+)/", line)
+        m = re.match(r"(\S+):\s+PSNR/SSIM:\s*([\d.]+)/", line)
         if m and epoch is not None:
-            out[epoch] = float(m.group(1))
+            out.setdefault(m.group(1), {})[epoch] = float(m.group(2))
     return out
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=sorted(CONFIGS), default="flagship")
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--epochs_encoder", type=int, default=2)
     ap.add_argument("--steps", type=int, default=80)
@@ -166,11 +229,22 @@ def main(argv=None):
 
 
 def _run(args, tmp):
+    spec = CONFIGS[args.config]
+    train_tasks = list(spec["train_tasks"])
+    test_tasks = list(spec["test_tasks"])
+    common_flags = (["--de_type"] + train_tasks
+                    + ["--test_de_type"] + test_tasks
+                    + list(spec["flags"]) + BASE_FLAGS)
+    shims = ((_SINGLE_BAND_SHIM if spec.get("single_band") else "")
+             + (_DGRN_SHIM if spec["dgrn"] else "")
+             + (_VIT_SHIM if spec["vit"] else ""))
+
     from tools import prepare_datasets
     data_root = os.path.join(tmp, "data")
-    prepare_datasets.main(["synth", "--root", data_root,
-                           "--tasks", TASK, "--n_train", str(args.n_train),
-                           "--n_test", str(args.n_test), "--seed", "7"])
+    prepare_datasets.main(["synth", "--root", data_root, "--tasks"]
+                          + sorted(set(train_tasks + test_tasks))
+                          + ["--n_train", str(args.n_train),
+                             "--n_test", str(args.n_test), "--seed", "7"])
 
     phase_flags = ["--epochs", str(args.epochs),
                    "--epochs_encoder", str(args.epochs_encoder)]
@@ -179,7 +253,8 @@ def _run(args, tmp):
     ref_out = os.path.join(tmp, "ref_out") + "/"
     wrapper = _REF_WRAPPER.format(
         repo=REPO, ref=REF, tmp=tmp, steps=args.steps, seed=args.seed,
-        flags=COMMON_FLAGS + phase_flags + ["--output_path", ref_out])
+        shims=shims,
+        flags=common_flags + phase_flags + ["--output_path", ref_out])
     wpath = os.path.join(tmp, "run_ref_train.py")
     open(wpath, "w").write(wrapper)
     env = dict(os.environ)
@@ -200,7 +275,7 @@ def _run(args, tmp):
     env2["PYTHONPATH"] = REPO
     print("training this framework (CPU jax)...", flush=True)
     r2 = subprocess.run(
-        [sys.executable, os.path.join(REPO, "train.py")] + COMMON_FLAGS
+        [sys.executable, os.path.join(REPO, "train.py")] + common_flags
         + phase_flags
         + ["--steps_per_epoch", str(args.steps), "--dtype", "float32",
            "--eval_dtype", "float32", "--seed", str(args.seed),
@@ -212,24 +287,27 @@ def _run(args, tmp):
         raise SystemExit("framework training failed")
 
     # ---- compare trajectories ------------------------------------------
-    ref_tr = parse_results_log(os.path.join(ref_out, "results.log"))
-    our_tr = parse_results_log(os.path.join(our_out, "results.log"))
-    print(f"\n{TASK} eval PSNR by epoch (same synthetic tree, "
-          f"{args.steps} steps/epoch, joint from epoch "
-          f"{args.epochs_encoder}):")
-    print("epoch   reference   this-framework")
-    for e in sorted(set(ref_tr) | set(our_tr)):
-        print(f"{e:5d}   {ref_tr.get(e, float('nan')):9.2f}   "
-              f"{our_tr.get(e, float('nan')):14.2f}")
-
+    ref_all = parse_results_log(os.path.join(ref_out, "results.log"))
+    our_all = parse_results_log(os.path.join(our_out, "results.log"))
     last = args.epochs
     first = args.epochs_encoder + 1
-    ok_learn_ref = ref_tr[last] > ref_tr[first] - 0.2
-    ok_learn_our = our_tr[last] > our_tr[first] - 0.2
-    d_final = abs(ref_tr[last] - our_tr[last])
-    print(f"\nfinal dPSNR = {d_final:.2f} dB (tol {args.tol}); "
-          f"ref learned: {ok_learn_ref}, ours learned: {ok_learn_our}")
-    ok = d_final <= args.tol and ok_learn_ref and ok_learn_our
+    ok = True
+    for task in test_tasks:
+        ref_tr = ref_all.get(task, {})
+        our_tr = our_all.get(task, {})
+        print(f"\n[{args.config}] {task} eval PSNR by epoch (same "
+              f"synthetic tree, {args.steps} steps/epoch, joint from "
+              f"epoch {args.epochs_encoder}):")
+        print("epoch   reference   this-framework")
+        for e in sorted(set(ref_tr) | set(our_tr)):
+            print(f"{e:5d}   {ref_tr.get(e, float('nan')):9.2f}   "
+                  f"{our_tr.get(e, float('nan')):14.2f}")
+        ok_learn_ref = ref_tr[last] > ref_tr[first] - 0.2
+        ok_learn_our = our_tr[last] > our_tr[first] - 0.2
+        d_final = abs(ref_tr[last] - our_tr[last])
+        print(f"final dPSNR = {d_final:.2f} dB (tol {args.tol}); "
+              f"ref learned: {ok_learn_ref}, ours learned: {ok_learn_our}")
+        ok = ok and d_final <= args.tol and ok_learn_ref and ok_learn_our
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

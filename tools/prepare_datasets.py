@@ -163,7 +163,13 @@ def cmd_synth(a) -> int:
         Image.fromarray(arr).save(path)
 
     for task in a.tasks:
-        base = "denoising" if "denoising" in task else task
+        if "denoising" in task and "_" in task:
+            # same stripping rule as task_train_dir/task_test_dir:
+            # 'denoising_0' -> denoising_*, 'denoising_bsd68_25' ->
+            # denoising_bsd68_* (dataset_utils.py:87-95,160-167)
+            base = task[:-(len(task.split("_")[-1]) + 1)]
+        else:
+            base = task
         for split, count in (("train", a.n_train), ("test", a.n_test)):
             task_dir = os.path.join(a.root, f"{base}_{split}")
             gt_out = os.path.join(task_dir, "GT")
