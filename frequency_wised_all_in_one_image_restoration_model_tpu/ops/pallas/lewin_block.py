@@ -1660,11 +1660,20 @@ def _cols_rot(v, s: int):
 def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                    wp_ref, bp_ref, bias_ref, mask_ref, lam_ref, ln2s_ref,
                    ln2b_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref,
-                   b2_ref, dps_ref, out_ref, acur_ref, aprev_ref, l1_ref,
-                   f_ref, *, T: int, W: int, C: int, Hd: int, h: int,
-                   win: int, P: int, s: int, nI: int, eps: float,
-                   has_mask: bool, has_lam: bool, has_dps: bool,
-                   dtype, ldt=jnp.float32):
+                   b2_ref, dps_ref, out_ref, *refs, T: int, W: int, C: int,
+                   Hd: int, h: int, win: int, P: int, s: int, nI: int,
+                   eps: float, has_mask: bool, has_lam: bool,
+                   has_dps: bool, with_u: bool = False, dtype,
+                   ldt=jnp.float32):
+    if with_u:
+        # u: the FFN half's input (attention output + residual, TRUE
+        # layout) — emitted for the training backward so _merged_bwd can
+        # run the halves' Pallas backward kernels DIRECTLY instead of
+        # re-running a full block forward to reconstruct it.
+        u_ref, acur_ref, aprev_ref, l1_ref, f_ref = refs
+    else:
+        u_ref = None
+        acur_ref, aprev_ref, l1_ref, f_ref = refs
     # dps_ref: [1, 1, 2] per-image DropPath branch scales — [..., 0] for
     # the attention half, [..., 1] for the FFN half (see fused_block_merged)
     i = pl.program_id(1)
@@ -1801,6 +1810,9 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     @pl.when(i >= 1)
     def _emit():
         out_ref[...] = y.reshape(1, T, W, C).astype(out_ref.dtype)
+        if with_u:
+            u_ref[...] = rows[1:T + 1].reshape(1, T, W, C).astype(
+                u_ref.dtype)
 
     # cycle scratch AFTER the emit assembly consumed it
     @pl.when(i < nI)
@@ -1813,7 +1825,7 @@ def _merged_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
 def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
                     bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2,
                     b2, win: int, shift: int, eps: float, interpret,
-                    dps1=None, dps2=None):
+                    dps1=None, dps2=None, with_u: bool = False):
     interpret = _resolve_interpret(interpret)
     B, H, W, C = x_img.shape
     h = wq3.shape[0]
@@ -1899,7 +1911,7 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
     kernel = functools.partial(
         _merged_kernel, T=T, W=W, C=C, Hd=Hd, h=h, win=win, P=P, s=s,
         nI=nI, eps=eps, has_mask=has_mask, has_lam=has_lam,
-        has_dps=has_dps, dtype=dt, ldt=ldt)
+        has_dps=has_dps, with_u=with_u, dtype=dt, ldt=ldt)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     xspec_cur = pl.BlockSpec((1, T, W, C),
@@ -1915,9 +1927,19 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
         out_map = lambda b, i: (b, jnp.where(i < nI, i, 0), 0, 0)
 
     # the cross-step scratch carry (a_prev/l1/f) requires strictly
-    # sequential grid execution
+    # sequential grid execution. with_u (training): the extra output
+    # block pushes the res-128 stages past Mosaic's 16 MiB scoped-VMEM
+    # default -> raise the per-kernel cap (v5e: 128 MiB VMEM/core).
     cparams = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary", "arbitrary"))
+        dimension_semantics=("arbitrary", "arbitrary"),
+        **({"vmem_limit_bytes": (48 << 20)} if with_u else {}))
+
+    tile_spec = pl.BlockSpec((1, T, W, C), out_map,
+                             memory_space=pltpu.VMEM)
+    out_specs = [tile_spec] * 2 if with_u else tile_spec
+    out_shape = jax.ShapeDtypeStruct((B, H, W, C), dt)
+    if with_u:
+        out_shape = [out_shape, out_shape]
 
     return pl.pallas_call(
         kernel,
@@ -1933,9 +1955,8 @@ def _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
             vspec(Hd, C), vspec(C),
             dps_spec,
         ],
-        out_specs=pl.BlockSpec((1, T, W, C), out_map,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((T, W, C), dt),                         # a_cur
             pltpu.VMEM((T, W, C), dt),                         # a_prev
@@ -1985,50 +2006,47 @@ def fused_block_merged(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3,
 def _merged_fwd(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
                 bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2, win,
                 shift, eps, interpret, dps1, dps2):
-    out = fused_block_merged(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3,
+    # with_u: emit the FFN half's input alongside the block output (one
+    # extra [B, H, W, C] save per block) so the backward can run the two
+    # Pallas backward kernels DIRECTLY — no block-forward re-run. The
+    # training backward previously paid a full extra forward per block
+    # (jax.vjp over the half-kernel pair) just to rebuild u; measured on
+    # v5e that re-forward was the largest single slice of the 518 ms
+    # B=32 joint backward (VALIDATION.md r5).
+    out, u = _merged_forward(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3,
                              bv3, wp3, bp, bias, mask, lam, ln2s, ln2b,
                              w1, b1, wd, bd, w2, b2, win, shift, eps,
-                             interpret, dps1, dps2)
-    return out, (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                             interpret, dps1, dps2, with_u=True)
+    return out, (x_img, u, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
                  bp, bias, mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2,
                  dps1, dps2)
 
 
 def _merged_bwd(win, shift, eps, interpret, res, g):
-    (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias, mask,
-     lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2, dps1, dps2) = res
+    (x_img, u, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp, bias,
+     mask, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2, dps1, dps2) = res
     dmask = None if mask is None else jnp.zeros_like(mask)
     ddps1 = None if dps1 is None else jnp.zeros_like(dps1)
     ddps2 = None if dps2 is None else jnp.zeros_like(dps2)
 
-    # Chain the two fused halves: their custom VJPs route to the
-    # dedicated Pallas backward kernels (attn_block_bwd/ffn_block_bwd)
-    # and already handle the in-kernel DropPath scales. mask/dps enter by
-    # closure (their cotangents are the zeros above).
-    def pair(x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
-             bias, lam_, ln2s, ln2b, w1, b1, wd, bd, w2, b2):
-        img = x_img
-        if shift > 0:
-            img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
-        u = fused_block_attention(img, ln1s, ln1b, wq3, bq3, wk3, bk3,
-                                  wv3, bv3, wp3, bp, bias, mask, lam_,
-                                  win, eps, interpret, dps1)
-        if shift > 0:
-            u = jnp.roll(u, (shift, shift), axis=(1, 2))
-        return fused_block_ffn(u, ln2s, ln2b, w1, b1, wd, bd, w2, b2,
-                               eps, interpret, dps2)
-
-    if lam is None:
-        diff = (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
-                bias, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
-        _, vjp = jax.vjp(lambda *a: pair(*a[:12], None, *a[12:]), *diff)
-        gr = vjp(g)
-        return gr[:12] + (dmask, None) + gr[12:] + (ddps1, ddps2)
-    diff = (x_img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3, bp,
-            bias, lam, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
-    _, vjp = jax.vjp(pair, *diff)
-    gr = vjp(g)
-    return gr[:12] + (dmask,) + gr[12:] + (ddps1, ddps2)
+    # Direct chain of the halves' backward rules on the SAVED u — the
+    # numerics are identical to differentiating the half-kernel pair
+    # (u is the exact dtype-dt value the pair materializes), with zero
+    # forward recompute. Rolls are permutations: d(roll)^T = roll back.
+    gf = _ffn_bwd(eps, interpret,
+                  (u, ln2s, ln2b, w1, b1, wd, bd, w2, b2, dps2), g)
+    du = gf[0]
+    gu = du if shift == 0 else jnp.roll(du, (-shift, -shift), axis=(1, 2))
+    img = (x_img if shift == 0
+           else jnp.roll(x_img, (-shift, -shift), axis=(1, 2)))
+    ga = _attn_bwd(win, eps, interpret,
+                   (img, ln1s, ln1b, wq3, bq3, wk3, bk3, wv3, bv3, wp3,
+                    bp, bias, mask, lam, dps1), gu)
+    dx = (ga[0] if shift == 0
+          else jnp.roll(ga[0], (shift, shift), axis=(1, 2)))
+    # ga: (dx, dln1s, dln1b, dwq3.. dbp, dbias, dmask, dlam, ddps)
+    return ((dx,) + ga[1:12] + (dmask, ga[13])
+            + gf[1:9] + (ddps1, ddps2))
 
 
 fused_block_merged.defvjp(_merged_fwd, _merged_bwd)
@@ -2076,10 +2094,17 @@ def merged_freq_fits(C: int, Hd: int, L: int, itemsize: int, W: int,
     """Whether the merged freq kernel should take this stage: both MSA
     halves' and the FFN's full-width weights plus a win-row tile of the
     L-banded token copies must fit scoped VMEM next to the [L, T, W, C]
-    scratch carries. FAIRM_MERGED_FREQ_MIN_RES gates the low-res stages
-    (default 0 = everywhere it fits; set from on-chip A/B)."""
+    scratch carries. Resolution gates from on-chip A/B (v5e, B=8, L=3,
+    tools/op_bench.py freqmerged): the merged kernel wins 1.6-2.1x at
+    res <= 32 (one grid step holds the whole image; merging removes the
+    chain's dispatch + HBM round-trips, which dominate there) but LOSES
+    0.82-0.85x at res 64/128, where the L-banded token budget forces
+    win-row tiles and the chain's larger per-half tiles stay faster —
+    the mirror image of the origin-MSA merged kernel's res gate
+    (merged_block_fits). Default: merged only at res <= 32."""
     min_res = int(os.environ.get("FAIRM_MERGED_FREQ_MIN_RES", "0"))
-    if W < min_res:
+    max_res = int(os.environ.get("FAIRM_MERGED_FREQ_MAX_RES", "32"))
+    if W < min_res or W > max_res:
         return False
     # two attention weight sets (intra + inter qkv/proj) + FFN weights
     weights = 8 * C * C * itemsize + 2 * C * Hd * itemsize + 9 * Hd * 4
@@ -2103,11 +2128,21 @@ def _merged_freq_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref,
                         wqkvB_ref, bqkvB_ref, wpB_ref, bpB_ref, biasB_ref,
                         maskA_ref, maskI_ref, ln2s_ref, ln2b_ref,
                         w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
-                        dps_ref, out_ref, acur_ref, aprev_ref, l1_ref,
-                        f_ref, *, L: int, T: int, W: int, C: int, Hd: int,
-                        h: int, win: int, P: int, s: int, nI: int,
-                        eps: float, has_mask: bool, has_dps: bool, dtype,
+                        dps_ref, out_ref, *refs, L: int, T: int, W: int,
+                        C: int, Hd: int, h: int, win: int, P: int, s: int,
+                        nI: int, eps: float, has_mask: bool,
+                        has_dps: bool, with_aux: bool = False, dtype,
                         ldt=jnp.float32):
+    if with_aux:
+        # training-backward saves: u = the FFN half's input (TRUE
+        # layout) and y1 = the intra half's output (rolled layout) —
+        # exactly the two intermediates the chain path materializes, so
+        # _freq_merged_bwd can run the three Pallas backward kernels
+        # directly with zero forward recompute.
+        u_ref, y1_ref, acur_ref, aprev_ref, l1_ref, f_ref = refs
+    else:
+        u_ref = y1_ref = None
+        acur_ref, aprev_ref, l1_ref, f_ref = refs
     # dps_ref: [1, L, 2] per-image-per-band DropPath branch scales —
     # [0, l, 0] scales the whole intra+inter MSA branch of band l,
     # [0, l, 1] the FFN branch (see fused_block_freq_merged)
@@ -2173,6 +2208,14 @@ def _merged_freq_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref,
             y1.reshape(L * nw_tile * n, C), wpA_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bpA_ref[0]
+
+        if with_aux:
+            # intra output for rolled tile i (dtype cast = the exact
+            # value the inter half consumes / the chain materializes)
+            y1r = y1.astype(dtype).reshape(L, nw_tile * n, C)
+            y1_ref[...] = jnp.stack(
+                [_win_unpack(y1r[l], T, W, win, C) for l in range(L)],
+                axis=0).reshape(L, 1, T, W, C)
 
         # -- inter: window-grouped cross-band attention + residual ----
         # [L, nw, n, C] -> [nw, L*n, C]
@@ -2282,6 +2325,9 @@ def _merged_freq_kernel(xc_ref, xn_ref, ln1s_ref, ln1b_ref,
     @pl.when(i >= 1)
     def _emit():
         out_ref[...] = y.reshape(L, 1, T, W, C).astype(out_ref.dtype)
+        if with_aux:
+            u_ref[...] = rows[:, 1:T + 1].reshape(L, 1, T, W, C).astype(
+                u_ref.dtype)
 
     @pl.when(i < nI)
     def _cycle():
@@ -2295,7 +2341,7 @@ def _merged_freq_forward(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
                          wv3B, bv3B, wp3B, bpB, biasB, mask, ln2s, ln2b,
                          w1, b1, wd, bd, w2, b2, L: int, win: int,
                          shift: int, eps: float, interpret, dps1=None,
-                         dps2=None):
+                         dps2=None, with_aux: bool = False):
     interpret = _resolve_interpret(interpret)
     LB, H, W, C = x_img.shape
     B = LB // L
@@ -2386,7 +2432,7 @@ def _merged_freq_forward(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
     kernel = functools.partial(
         _merged_freq_kernel, L=L, T=T, W=W, C=C, Hd=Hd, h=h, win=win,
         P=P, s=s, nI=nI, eps=eps, has_mask=has_mask, has_dps=has_dps,
-        dtype=dt, ldt=ldt)
+        with_aux=with_aux, dtype=dt, ldt=ldt)
     vspec = lambda *shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
     x5 = x_img.reshape(L, B, H, W, C)
@@ -2404,8 +2450,29 @@ def _merged_freq_forward(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
     else:
         out_map = lambda b, i: (0, b, jnp.where(i < nI, i, 0), 0, 0)
 
+    # The L-banded tile set exceeds Mosaic's 16 MiB scoped-VMEM default at
+    # the res-128 stage (measured 16.59 MiB on v5e — interpret mode never
+    # sees this); raise the per-kernel cap. v5e has 128 MiB VMEM/core, and
+    # the row-tile chooser keeps the working set a small multiple of the
+    # budget model, so 48 MiB leaves pipelining headroom.
     cparams = pltpu.CompilerParams(
-        dimension_semantics=("arbitrary", "arbitrary"))
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=(48 << 20))
+
+    out_spec = pl.BlockSpec((L, 1, T, W, C), out_map,
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((L, B, H, W, C), dt)
+    if with_aux:
+        # u follows the block output's map (TRUE layout); y1 is written
+        # during the MSA half at rolled tile i
+        y1_spec = pl.BlockSpec(
+            (L, 1, T, W, C),
+            lambda b, i: (0, b, jnp.minimum(i, nI - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+        out_specs = [out_spec, out_spec, y1_spec]
+        out_shapes = [out_shape, out_shape, out_shape]
+    else:
+        out_specs, out_shapes = out_spec, out_shape
 
     out = pl.pallas_call(
         kernel,
@@ -2425,9 +2492,8 @@ def _merged_freq_forward(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
             vspec(Hd, C), vspec(C),
             dps_spec,
         ],
-        out_specs=pl.BlockSpec((L, 1, T, W, C), out_map,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, B, H, W, C), dt),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((L, T, W, C), dt),                      # a_cur
             pltpu.VMEM((L, T, W, C), dt),                      # a_prev
@@ -2444,6 +2510,8 @@ def _merged_freq_forward(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
       w1.astype(dt), b1.astype(jnp.float32), wd.astype(jnp.float32),
       bd.astype(jnp.float32), w2.astype(dt), b2.astype(jnp.float32),
       dps_arr)
+    if with_aux:
+        return tuple(o.reshape(LB, H, W, C) for o in out)
     return out.reshape(LB, H, W, C)
 
 
@@ -2483,51 +2551,51 @@ def _freq_merged_fwd(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
                      wv3B, bv3B, wp3B, bpB, biasB, mask, ln2s, ln2b, w1,
                      b1, wd, bd, w2, b2, L, win, shift, eps, interpret,
                      dps1, dps2):
-    out = fused_block_freq_merged(
+    # with_aux: emit u (FFN input) + y1 (intra output) so the backward
+    # runs the three Pallas backward kernels directly — no forward
+    # recompute (see _merged_fwd).
+    out, u, y1 = _merged_freq_forward(
         x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A, wp3A, bpA,
         biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B, wp3B, bpB, biasB,
         mask, ln2s, ln2b, w1, b1, wd, bd, w2, b2, L, win, shift, eps,
-        interpret, dps1, dps2)
-    return out, (x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A,
-                 wp3A, bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B,
-                 wp3B, bpB, biasB, mask, ln2s, ln2b, w1, b1, wd, bd, w2,
-                 b2, dps1, dps2)
+        interpret, dps1, dps2, with_aux=True)
+    return out, (x_img, u, y1, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
+                 bv3A, wp3A, bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B,
+                 bv3B, wp3B, bpB, biasB, mask, ln2s, ln2b, w1, b1, wd,
+                 bd, w2, b2, dps1, dps2)
 
 
 def _freq_merged_bwd(L, win, shift, eps, interpret, res, g):
-    (x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A, wp3A, bpA,
-     biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B, wp3B, bpB, biasB, mask,
-     ln2s, ln2b, w1, b1, wd, bd, w2, b2, dps1, dps2) = res
+    (x_img, u, y1, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A, wp3A,
+     bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B, wp3B, bpB, biasB,
+     mask, ln2s, ln2b, w1, b1, wd, bd, w2, b2, dps1, dps2) = res
     dmask = None if mask is None else jnp.zeros_like(mask)
     ddps1 = None if dps1 is None else jnp.zeros_like(dps1)
     ddps2 = None if dps2 is None else jnp.zeros_like(dps2)
 
-    # Chain the three underlying fused ops: their custom VJPs route to
-    # the dedicated Pallas backward kernels and already handle the
-    # in-kernel DropPath scales. mask/dps enter by closure.
-    def chain(x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A,
-              wp3A, bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B,
-              wp3B, bpB, biasB, ln2s, ln2b, w1, b1, wd, bd, w2, b2):
-        img = x_img
-        if shift > 0:
-            img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
-        y1 = fused_freq_intra(img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A,
-                              wv3A, bv3A, wp3A, bpA, biasA, mask, L,
-                              win, eps, interpret)
-        y = fused_freq_inter(y1, img, wq3B, bq3B, wk3B, bk3B, wv3B,
-                             bv3B, wp3B, bpB, biasB, mask, L, win, eps,
-                             interpret, dps1)
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        return fused_block_ffn(y, ln2s, ln2b, w1, b1, wd, bd, w2, b2,
-                               eps, interpret, dps2)
-
-    diff = (x_img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A, bv3A, wp3A,
-            bpA, biasA, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B, wp3B, bpB,
-            biasB, ln2s, ln2b, w1, b1, wd, bd, w2, b2)
-    _, vjp = jax.vjp(chain, *diff)
-    gr = vjp(g)
-    return gr[:21] + (dmask,) + gr[21:] + (ddps1, ddps2)
+    # Direct chain of the three halves' backward rules on the SAVED
+    # intermediates (u: FFN input, TRUE layout; y1: intra output, rolled
+    # layout) — numerically identical to differentiating the dispatch
+    # chain, with zero forward recompute.
+    gf = _ffn_bwd(eps, interpret,
+                  (u, ln2s, ln2b, w1, b1, wd, bd, w2, b2, dps2), g)
+    du = gf[0]
+    gy = du if shift == 0 else jnp.roll(du, (-shift, -shift), axis=(1, 2))
+    img = (x_img if shift == 0
+           else jnp.roll(x_img, (-shift, -shift), axis=(1, 2)))
+    gi = _freq_inter_bwd(L, win, eps, interpret,
+                         (y1, img, wq3B, bq3B, wk3B, bk3B, wv3B, bv3B,
+                          wp3B, bpB, biasB, mask, dps1), gy)
+    ga = _freq_intra_bwd(L, win, eps, interpret,
+                         (img, ln1s, ln1b, wq3A, bq3A, wk3A, bk3A, wv3A,
+                          bv3A, wp3A, bpA, biasA, mask), gi[0])
+    dimg = ga[0] + gi[1]              # intra input + inter residual
+    dx = (dimg if shift == 0
+          else jnp.roll(dimg, (shift, shift), axis=(1, 2)))
+    # ga: (dimg, dln1s, dln1b, dwq3A.. dbpA, dbiasA, dmask)
+    # gi: (dy1, dres, dwq3B.. dbpB, dbiasB, dmask, ddps)
+    return ((dx,) + ga[1:12] + gi[2:11] + (dmask,)
+            + gf[1:9] + (ddps1, ddps2))
 
 
 fused_block_freq_merged.defvjp(_freq_merged_fwd, _freq_merged_bwd)

@@ -370,6 +370,79 @@ def bench_merged():
           f"({tot_p/max(tot_m,1e-9):.2f}x)", flush=True)
 
 
+def bench_freqmerged():
+    """Single-dispatch merged frequency-MSA block vs the three-dispatch
+    chain (intra -> inter -> FFN), at every flagship ENCODER stage shape
+    (shifted block where res > win; band-folded batch L=3)."""
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops import (
+        windows as win_ops)
+    from frequency_wised_all_in_one_image_restoration_model_tpu.ops.pallas.lewin_block import (
+        fused_block_ffn, fused_block_freq_merged, fused_freq_inter,
+        fused_freq_intra, merged_freq_fits)
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    Bb = int(os.environ.get("OPB_BATCH", "8"))
+    L, win, n = 3, 8, 64
+
+    enc = [("enc0", 128, 28, 1, 2), ("enc1", 64, 56, 2, 2),
+           ("enc2", 32, 112, 4, 2), ("enc3", 16, 224, 8, 2),
+           ("conv", 8, 448, 16, 2)]
+    tot_c = tot_m = 0.0
+    for name, res, C, h, depth in enc:
+        d = C // h
+        Hd = 4 * C
+        if not merged_freq_fits(C, Hd, L, 2, res, win):
+            print(f"freqmerged {name:5s} res{res:3d} C{C:3d}: no fit -> "
+                  "chain", flush=True)
+            continue
+        shift = 4 if res > win else 0
+        x = (mk(L * Bb, res, res, C) * 0.3).astype(jnp.bfloat16)
+        lns, lnb = 1.0 + 0.1 * mk(C), 0.1 * mk(C)
+        mkq = lambda: (mk(h, C, d) * 0.1, mk(h, d) * 0.1,
+                       mk(h, C, d) * 0.1, mk(h, d) * 0.1,
+                       mk(h, C, d) * 0.1, mk(h, d) * 0.1,
+                       mk(h, d, C) * 0.1, mk(C) * 0.1)
+        A, Bq = mkq(), mkq()
+        biasA = mk(L, h, n, n) * 0.05
+        biasB = mk(h, L * n, L * n) * 0.05
+        mask = (jnp.asarray(win_ops.shift_attn_mask(res, res, win, shift))
+                if shift else None)
+        w1, b1 = mk(C, Hd) * 0.1, mk(Hd) * 0.1
+        wd, bd = mk(3, 3, Hd) * 0.1, mk(Hd) * 0.1
+        w2, b2 = mk(Hd, C) * 0.1, mk(C) * 0.1
+
+        def chain(x, A, Bq, biasA, biasB, lns, lnb, w1, b1, wd, bd, w2,
+                  b2):
+            img = x
+            if shift:
+                img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+            y1 = fused_freq_intra(img, lns, lnb, *A, biasA, mask, L, win)
+            y = fused_freq_inter(y1, img, *Bq, biasB, mask, L, win)
+            if shift:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            return fused_block_ffn(y, lns, lnb, w1, b1, wd, bd, w2,
+                                   b2).astype(x.dtype)
+
+        def merged(x, A, Bq, biasA, biasB, lns, lnb, w1, b1, wd, bd, w2,
+                   b2):
+            return fused_block_freq_merged(
+                x, lns, lnb, *A, biasA, *Bq, biasB, mask, lns, lnb,
+                w1, b1, wd, bd, w2, b2, L, win, shift).astype(x.dtype)
+
+        args = (x, A, Bq, biasA, biasB, lns, lnb, w1, b1, wd, bd, w2, b2)
+        tc = timer(chain, args)
+        tm = timer(merged, args)
+        tot_c += tc * depth
+        tot_m += tm * depth
+        print(f"freqmerged {name:5s} res{res:3d} C{C:3d} h{h:2d} "
+              f"s{shift}: chain {tc*1e3:6.2f} ms  merged {tm*1e3:6.2f} "
+              f"ms  speedup {tc/tm:5.2f}x", flush=True)
+    print(f"freqmerged encoder-equivalent (fitting stages): chain "
+          f"{tot_c*1e3:7.1f} ms  merged {tot_m*1e3:7.1f} ms  "
+          f"({tot_c/max(tot_m,1e-9):.2f}x)", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("attn", "all"):
@@ -384,3 +457,5 @@ if __name__ == "__main__":
         bench_blockk()
     if which in ("merged",):
         bench_merged()
+    if which in ("freqmerged",):
+        bench_freqmerged()
