@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.deform_conv import modulated_deform_conv2d
-from .layers import leaky_relu
+from .layers import leaky_relu, torch_bias_init, torch_conv_init
 
 
 class DCNLayer(nn.Module):
@@ -79,9 +79,11 @@ class SFTLayer(nn.Module):
     def __call__(self, x, inter):
         def branch(name):
             y = nn.Conv(self.channels_out, (1, 1), use_bias=False,
+                        kernel_init=torch_conv_init,
                         dtype=self.dtype, name=name + "_0")(inter)
             y = leaky_relu(y)
             return nn.Conv(self.channels_out, (1, 1), use_bias=False,
+                           kernel_init=torch_conv_init,
                            dtype=self.dtype, name=name + "_1")(y)
 
         gamma = branch("conv_gamma")
@@ -117,11 +119,17 @@ class DGB(nn.Module):
         pad = self.kernel_size // 2
         y = leaky_relu(DGM(self.n_feat, self.kernel_size, dtype=self.dtype,
                            name="dgm1")(x, inter))
-        y = leaky_relu(nn.Conv(self.n_feat, (self.kernel_size,) * 2,
-                               padding=pad, dtype=self.dtype, name="conv1")(y))
+        y = leaky_relu(nn.Conv(
+            self.n_feat, (self.kernel_size,) * 2, padding=pad,
+            kernel_init=torch_conv_init,
+            bias_init=torch_bias_init(self.n_feat * self.kernel_size ** 2),
+            dtype=self.dtype, name="conv1")(y))
         y = leaky_relu(DGM(self.n_feat, self.kernel_size, dtype=self.dtype,
                            name="dgm2")(y, inter))
         y = nn.Conv(self.n_feat, (self.kernel_size,) * 2, padding=pad,
+                    kernel_init=torch_conv_init,
+                    bias_init=torch_bias_init(
+                        self.n_feat * self.kernel_size ** 2),
                     dtype=self.dtype, name="conv2")(y)
         return y + x
 
@@ -141,8 +149,11 @@ class DGG(nn.Module):
             res = DGB(self.n_feat, self.kernel_size, dtype=self.dtype,
                       name=f"dgb{i}")(res, inter)
         res = nn.Conv(self.n_feat, (self.kernel_size,) * 2,
-                      padding=self.kernel_size // 2, dtype=self.dtype,
-                      name="conv")(res)
+                      padding=self.kernel_size // 2,
+                      kernel_init=torch_conv_init,
+                      bias_init=torch_bias_init(
+                          self.n_feat * self.kernel_size ** 2),
+                      dtype=self.dtype, name="conv")(res)
         return res + x
 
 
@@ -166,14 +177,22 @@ class DGRN(nn.Module):
         x = x.astype(self.dtype)
         inter = inter.astype(self.dtype)
         head = nn.Conv(self.n_feats, (self.kernel_size,) * 2, padding=pad,
+                       kernel_init=torch_conv_init,
+                       bias_init=torch_bias_init(3 * self.kernel_size ** 2),
                        dtype=self.dtype, name="head")(x)
         res = head
         for g in range(self.n_groups):
             res = DGG(self.n_feats, self.kernel_size, self.n_blocks,
                       dtype=self.dtype, name=f"dgg{g}")(res, inter)
         res = nn.Conv(self.n_feats, (self.kernel_size,) * 2, padding=pad,
+                      kernel_init=torch_conv_init,
+                      bias_init=torch_bias_init(
+                          self.n_feats * self.kernel_size ** 2),
                       dtype=self.dtype, name="body_conv")(res)
         res = res + head
         out = nn.Conv(3, (self.kernel_size,) * 2, padding=pad,
+                      kernel_init=torch_conv_init,
+                      bias_init=torch_bias_init(
+                          self.n_feats * self.kernel_size ** 2),
                       dtype=self.dtype, name="tail")(res)
         return out.astype(jnp.float32)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import leaky_relu
+from .layers import leaky_relu, torch_bias_init, torch_conv_init
 
 
 class ResBlock(nn.Module):
@@ -32,14 +32,16 @@ class ResBlock(nn.Module):
         norm = lambda: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     epsilon=1e-5, dtype=jnp.float32)
         y = nn.Conv(self.out_feat, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype)(x)
+                    padding=1, use_bias=False, kernel_init=torch_conv_init,
+                    dtype=self.dtype)(x)
         y = norm()(y)
         y = leaky_relu(y)
         y = nn.Conv(self.out_feat, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype)(y)
+                    kernel_init=torch_conv_init, dtype=self.dtype)(y)
         y = norm()(y)
         s = nn.Conv(self.out_feat, (1, 1), strides=(self.stride, self.stride),
-                    use_bias=False, dtype=self.dtype)(x)
+                    use_bias=False, kernel_init=torch_conv_init,
+                    dtype=self.dtype)(x)
         s = norm()(s)
         return leaky_relu(y + s)
 
@@ -57,9 +59,14 @@ class ResNetEncoder(nn.Module):
         y = ResBlock(self.dim // 2, 2, dtype=self.dtype)(inter, train)
         y = ResBlock(self.dim, 2, dtype=self.dtype)(y, train)
         fea = jnp.mean(y, axis=(1, 2))  # AdaptiveAvgPool2d(1)
-        out = nn.Dense(self.dim, dtype=self.dtype)(fea)
+        # torch nn.Linear default reset (matches the reference's
+        # untouched MLP head, encoder_ResNet.py:36-40)
+        dense = lambda n: nn.Dense(self.dim, kernel_init=torch_conv_init,
+                                   bias_init=torch_bias_init(n),
+                                   dtype=self.dtype)
+        out = dense(y.shape[-1])(fea)
         out = leaky_relu(out)
-        out = nn.Dense(self.dim, dtype=self.dtype)(out)
+        out = dense(self.dim)(out)
         # out stacked with a leading band axis (single band for this encoder;
         # the reference returns a 1-element list, encoder_ResNet.py:47)
         return fea.astype(jnp.float32), out.astype(jnp.float32)[None], inter

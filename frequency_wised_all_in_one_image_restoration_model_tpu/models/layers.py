@@ -17,6 +17,29 @@ def leaky_relu(x: jax.Array, slope: float = 0.1) -> jax.Array:
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
+# torch nn.Conv2d/nn.Linear default reset: kaiming_uniform(a=sqrt(5)) ==
+# uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) -> variance 1/(3*fan_in); the
+# bias is uniform over the same bound. Flax's default (lecun_normal,
+# variance 1/fan_in, zero bias) draws kernels with 1.73x the std — in
+# DGRN's 50-deep DGM/SFT residual accumulation that compounds to a ~30x
+# output magnitude at init (measured; the torch-initialized reference
+# starts at O(1)), which wrecks toy-scale training parity
+# (tools/parity_train.py resnet_dgrn). Matching torch's reset fixes the
+# start-of-training dynamics; weight-transplant forward parity is
+# init-independent (tests/test_golden_parity.py).
+torch_conv_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch's default bias reset: uniform(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
 
 class Mlp(nn.Module):
     """Linear-GELU-Linear token MLP (reference encoder_Uformer.py:374-393)."""
